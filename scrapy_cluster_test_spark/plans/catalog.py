@@ -1,0 +1,594 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (Spark builder, oracle SQL) pair.
+
+Each entry is registered with :func:`query` and surfaces through
+``__spark_entry__.py`` ``queries()`` / ``oracle_sql()``. The Spark side is
+DataFrame-API (Catalyst-optimized); the oracle side is ANSI SQL DuckDB runs on
+the same parquet views. Column names/aliases match exactly on both sides —
+the driver hash-compares values after sorting columns by name.
+
+Reference parallels are cited per query (file:line in /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import tables
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+_CATALOG: dict[str, CatalogEntry] = {}
+
+
+def query(name: str, oracle: str | None):
+    """Decorator registering a catalog entry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _CATALOG[name] = CatalogEntry(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, CatalogEntry]:
+    return dict(_CATALOG)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Frontier / scheduling operators (SURVEY §2.4) expressed over the driver's
+# `events` table so DuckDB can oracle-check them. The synthetic mapping is
+# identical on both sides:
+#   url_fp     = event_id                  (global tiebreaker)
+#   domain_id  = user_id % 50              (domain universe)
+#   priority   = event_id % 3              (retry bumps produce >0)
+#   crawl_time = epoch-counter             (here: event_id / 7, FIFO key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "frontier_pop_topk",
+    """
+    WITH frontier AS (
+      SELECT event_id AS url_fp,
+             user_id % 50 AS domain_id,
+             event_id % 3 AS priority,
+             event_id // 7 AS crawl_time
+      FROM events
+    )
+    SELECT domain_id, url_fp, priority, crawl_time, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY domain_id
+               ORDER BY priority, crawl_time, url_fp) AS INT) AS rk
+      FROM frontier)
+    WHERE rk <= 5
+    """,
+)
+def frontier_pop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budgeted frontier pop: per-domain windowed top-k.
+
+    Reference: Mongo `$match pending → $sort created_at → $limit` pop
+    (spiders/amazon_merchant_autonomous.py:70-102) generalized to a
+    per-domain budget window per SURVEY §2.4 Q1/Q4. At scale the window
+    shuffles once on domain_id — the same partitioning the fetch stage
+    reuses, so no extra exchange.
+    """
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.col("event_id").alias("url_fp"),
+        (F.col("user_id") % 50).alias("domain_id"),
+        (F.col("event_id") % 3).alias("priority"),
+        (F.col("event_id") / F.lit(7)).cast("long").alias("crawl_time"),
+    )
+    w = W.partitionBy("domain_id").orderBy("priority", "crawl_time", "url_fp")
+    return (
+        frontier.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("domain_id", "url_fp", "priority", "crawl_time", "rk")
+    )
+
+
+@query(
+    "retry_priority_adjust",
+    """
+    WITH fetched AS (
+      SELECT event_id AS url_fp,
+             CASE WHEN event_id % 97 = 0 THEN 503
+                  WHEN event_id % 131 = 0 THEN 404
+                  ELSE 200 END AS status_code,
+             event_id % 3 AS retry_times,
+             CASE WHEN event_id % 2 = 0 THEN 'crawlera' ELSE 'proxycrawl' END AS provider
+      FROM events
+    )
+    SELECT url_fp, status_code,
+           CAST(retry_times + 1 AS BIGINT) AS retry_times_next,
+           CAST(10 AS BIGINT) AS priority_adjusted,
+           CASE WHEN retry_times >= 1 THEN
+                  CASE WHEN provider = 'crawlera' THEN 'proxycrawl' ELSE 'crawlera' END
+                ELSE provider END AS provider_next
+    FROM fetched
+    WHERE status_code IN (404, 429, 503, 520) AND retry_times < 2
+    """,
+)
+def retry_priority_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry with priority adjust + provider switchover (SURVEY Q6).
+
+    Reference: CustomRetryMiddleware — retry on {404,429,503,520},
+    `priority += adjust`, first retry keeps the provider, later retries flip
+    crawlera↔proxycrawl (scrapy_project/project/middlewares.py:153-233).
+    """
+    ev = _t(spark, sf_dir, "events")
+    fetched = ev.select(
+        F.col("event_id").alias("url_fp"),
+        F.when(F.col("event_id") % 97 == 0, 503)
+        .when(F.col("event_id") % 131 == 0, 404)
+        .otherwise(200)
+        .alias("status_code"),
+        (F.col("event_id") % 3).alias("retry_times"),
+        F.when(F.col("event_id") % 2 == 0, "crawlera")
+        .otherwise("proxycrawl")
+        .alias("provider"),
+    )
+    return (
+        fetched.filter(
+            F.col("status_code").isin(404, 429, 503, 520) & (F.col("retry_times") < 2)
+        )
+        .select(
+            "url_fp",
+            "status_code",
+            (F.col("retry_times") + 1).alias("retry_times_next"),
+            F.lit(10).cast("long").alias("priority_adjusted"),
+            F.when(
+                F.col("retry_times") >= 1,
+                F.when(F.col("provider") == "crawlera", "proxycrawl").otherwise(
+                    "crawlera"
+                ),
+            )
+            .otherwise(F.col("provider"))
+            .alias("provider_next"),
+        )
+    )
+
+
+@query(
+    "pagination_fanout",
+    """
+    WITH pages AS (
+      SELECT o_orderkey,
+             CAST(ceil(o_totalprice / 50000.0) AS BIGINT) AS total_pages
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(unnest(generate_series(2, total_pages)) AS BIGINT) AS page_no
+    FROM pages
+    WHERE total_pages >= 2
+    """,
+)
+def pagination_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link expansion: page-1 result fans out pages 2..N (SURVEY Q9).
+
+    Reference: `total_pages = ceil(total_offers/10)` then one request per
+    page (spiders/amazon_merchant.py:128-153). Expressed natively as
+    explode(sequence(...)) — no UDF, stays in whole-stage codegen.
+    """
+    o = _t(spark, sf_dir, "orders")
+    pages = o.select(
+        "o_orderkey",
+        F.ceil(F.col("o_totalprice") / 50000.0).cast("long").alias("total_pages"),
+    ).filter(F.col("total_pages") >= 2)
+    return pages.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(2).cast("long"), F.col("total_pages"))).alias(
+            "page_no"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Read-API path (SURVEY §3.3): filter chain → sort → paginate → project.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seller_db_filter_sort_page",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal IS NOT NULL AND c_acctbal >= 1000 AND c_acctbal <= 9000
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY c_acctbal DESC, c_name ASC, c_custkey ASC
+    LIMIT 20 OFFSET 20
+    """,
+)
+def seller_db_filter_sort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /seller-database analog: range+equality filters, multi-key sort,
+    pagination (api/app/main.py:252-369,515-519). Spark ≥3.4 offset/limit
+    plans as a global TakeOrdered — no full sort materialization.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_acctbal").isNotNull()
+            & (F.col("c_acctbal") >= 1000)
+            & (F.col("c_acctbal") <= 9000)
+            & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .orderBy(
+            F.col("c_acctbal").desc(), F.col("c_name").asc(), F.col("c_custkey").asc()
+        )
+        .offset(20)
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "regex_search_ci",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE regexp_matches(lower(p_name), lower('steel'))
+    GROUP BY p_brand
+    """,
+)
+def regex_search_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive regex search (api/app/main.py:385-457 `$regex $options:i`)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("(?i)steel"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "count_distinct_filtered",
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS total_sellers
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+    """,
+)
+def count_distinct_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-distinct under the read-API filter set (api/app/main.py:507-513)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 50000)).agg(
+        F.countDistinct("o_custkey").alias("total_sellers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins & set ops (SURVEY §2.3, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anti_join_new_entities",
+    """
+    SELECT c.c_custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_new_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage anti-join dedup pattern: 'entities not yet seen'
+    (pipelines.py:457-468). left_anti join; Catalyst broadcasts the small
+    side / AQE re-plans at runtime. At 10^10 scale, operators/seen.py fronts
+    this with a sharded Bloom filter.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+@query(
+    "semi_join_active",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '1997-01-01')
+    """,
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join probe (`$in` intersection probe, pipelines.py:461-466)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1997-01-01")
+    return s.join(
+        li.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "broadcast_dim_join",
+    """
+    SELECT r.r_name AS region_name, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension lookup (us_states normalization,
+    spiders/amazon_merchant.py:493-506 → SURVEY J2). Explicit
+    F.broadcast on both dims — zero shuffle for the join itself.
+
+    The average goes through an exact DECIMAL sum then one double division,
+    so the result is bit-identical regardless of aggregation order (double
+    sums are order-dependent; decimal sums are not).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "dedup_first_wins",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+    FROM (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+      FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insertion-ordered first-wins dedup (`{id: item for item in xs}.values()`,
+    spiders/amazon_merchant.py:161 → SURVEY D2/D5) as a row_number window.
+    The ORDER BY is a total order (full tiebreak) so the winner is
+    distribution-order independent — the same discipline the frontier pop
+    applies with url_fp as global tiebreaker.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations & scalar math (SURVEY §2.6, §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "per_entity_rollup",
+    """
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS num_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS num_unique_suppliers,
+           CAST(max(l_linenumber) AS INT) AS max_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def per_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asin rollup analog: num_offers / num_unique_sellers / num_page
+    (amazon_merchant_autonomous.py:254-281 → SURVEY A5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("num_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.countDistinct("l_suppkey").alias("num_unique_suppliers"),
+        F.max("l_linenumber").alias("max_line"),
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+             CAST(l_discount AS DECIMAL(18,2)) AS disc,
+             CAST(l_tax AS DECIMAL(18,2)) AS tax
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(ep) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(ep * (1 - disc)) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(ep * (1 - disc) * (1 + tax)) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(ep) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM d
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-summary style aggregate (SURVEY A4) in its canonical TPC-H Q1 form.
+    Partial aggregation is map-side; one shuffle on the two group keys.
+    DECIMAL sums are exact → order-independent across any partitioning."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    d = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
+        F.col("l_discount").cast("decimal(18,2)").alias("disc"),
+        F.col("l_tax").cast("decimal(18,2)").alias("tax"),
+    )
+    disc_price = F.col("ep") * (1 - F.col("disc"))
+    return d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("decimal(38,2)").alias("sum_qty"),
+        F.sum("ep").cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(disc_price * (1 + F.col("tax"))).cast("decimal(38,6)").alias("sum_charge"),
+        (F.sum("qty").cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum("ep").cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum("disc").cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "kpi_profit_margin_roi",
+    """
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+             CAST(l_discount AS DECIMAL(18,2)) AS disc,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM lineitem
+      WHERE l_linenumber <= 2
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(ep * (1 - disc) AS DECIMAL(38,4)) AS revenue,
+           CAST(ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2)) AS DECIMAL(38,4)) AS cost,
+           CAST(ep * (1 - disc) - (ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS profit,
+           CASE WHEN ep * (1 - disc) = 0 THEN 0.0
+                ELSE 100.0 * CAST(ep * (1 - disc) - (ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2))) AS DOUBLE)
+                     / CAST(ep * (1 - disc) AS DOUBLE) END AS margin,
+           CASE WHEN ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2)) = 0 THEN 0.0
+                ELSE 100.0 * CAST(ep * (1 - disc) - (ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2))) AS DOUBLE)
+                     / CAST(ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2)) AS DOUBLE) END AS roi
+    FROM d
+    """,
+)
+def kpi_profit_margin_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI math: profit / margin / ROI with zero-guards
+    (core/sellgo_core/utils/kpi.py:4-128 → SURVEY F18). Pure column
+    arithmetic — whole-stage codegen, no UDF. Money terms stay in exact
+    DECIMAL; ratios are single double divisions of identical exact inputs,
+    hence bit-identical across engines with no rounding step."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    c06 = F.lit("0.6").cast("decimal(3,2)")
+    c20 = F.lit("2.0").cast("decimal(3,2)")
+    revenue = ep * (1 - disc)
+    cost = ep * c06 + qty * c20
+    profit = revenue - cost
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.cast("decimal(38,4)").alias("revenue"),
+        cost.cast("decimal(38,4)").alias("cost"),
+        profit.cast("decimal(38,4)").alias("profit"),
+        F.when(revenue == 0, F.lit(0.0))
+        .otherwise(100.0 * profit.cast("double") / revenue.cast("double"))
+        .alias("margin"),
+        F.when(cost == 0, F.lit(0.0))
+        .otherwise(100.0 * profit.cast("double") / cost.cast("double"))
+        .alias("roi"),
+    )
+
+
+@query(
+    "case_bucketing",
+    """
+    SELECT CASE
+             WHEN o_orderdate <  TIMESTAMP '1995-01-01' THEN 'more than 1 year'
+             WHEN o_orderdate <  TIMESTAMP '1997-01-01' THEN '90 days - 1 year'
+             WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN '30 - 90 days'
+             ELSE 'less than 30 days'
+           END AS launched_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Launched-date bucketing CASE chain (spiders/amazon_merchant.py:457-464
+    → SURVEY F12)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderdate") < "1995-01-01", "more than 1 year")
+        .when(F.col("o_orderdate") < "1997-01-01", "90 days - 1 year")
+        .when(F.col("o_orderdate") < "1998-01-01", "30 - 90 days")
+        .otherwise("less than 30 days")
+    )
+    return (
+        o.select(bucket.alias("launched_bucket"))
+        .groupBy("launched_bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "digit_extraction",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_type, '[^0-9]', '', 'g') AS digits,
+           CAST(try_cast(regexp_replace(p_name, '[^0-9]', '', 'g') AS BIGINT) AS BIGINT) AS name_digits
+    FROM part
+    WHERE p_size >= 40
+    """,
+)
+def digit_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit extraction + null-on-failure cast (`safe_cast`, utils.py:158-162;
+    digit filters, spiders/amazon_merchant.py:234-240 → SURVEY F5/F6)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_type", "[^0-9]", "").alias("digits"),
+        F.expr("try_cast(regexp_replace(p_name, '[^0-9]', '') AS BIGINT)").alias(
+            "name_digits"
+        ),
+    )
+
+
+@query(
+    "metrics_counter_tree",
+    """
+    SELECT concat('fetch/', event_type, '/',
+                  CASE WHEN value >= 0.5 THEN 'ok' ELSE 'err' END) AS metric_key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def metrics_counter_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical stats counters `proxy/<provider>/error/<page>/<status>`
+    (middlewares.py:102-151, constants.py:11-28 → SURVEY A3) as a
+    groupBy over a composed metric key."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("fetch/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.when(F.col("value") >= 0.5, "ok").otherwise("err"),
+    )
+    return ev.groupBy(key.alias("metric_key")).agg(F.count("*").alias("n"))
