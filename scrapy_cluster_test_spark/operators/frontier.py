@@ -1,0 +1,180 @@
+"""Frontier operators: politeness-budgeted pop, robots gate, child enqueue.
+
+Reference: Mongo todo collections popped FIFO on `spider_idle`
+(amazon_merchant_autonomous.py:60-154), pending-flag lifecycle
+(pipelines.py:429-455), retry middleware (middlewares.py:153-233).
+
+Everything is a deterministic DataFrame transform: every window order ends
+in ``url_fp`` so the result is independent of partitioning and task
+scheduling (SURVEY §7 "hard parts": ties must be broken by url_fp or
+distribution order leaks in).
+
+Scale notes (10^10 frontier, 1000 executors):
+* the per-domain budget window shuffles once on ``domain_hash`` — the same
+  key the frontier table is bucketed by, so with a bucketed table layout
+  this is a local sort, not a full exchange;
+* the global per-kind cap + seq assignment run on the *popped* subset only
+  (≤ Σ budgets rows per epoch, ~10^6 at full scale), not the 10^10 table;
+* the hot-domain skew (domain 0 holds ~27% of pages) is bounded by the
+  budget itself: at most ``budget`` rows per domain survive the window, so
+  the skewed partition's excess is discarded at the first shuffle. AQE
+  skew-join splitting covers the pre-window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .. import crawlspec as spec
+
+POP_ORDER = [
+    "kind_rank",
+    "priority",
+    "crawl_time",
+    "url_fp",
+]
+
+
+def kind_rank() -> F.Column:
+    """seller before asin — the reference dispatches all sellers, then all
+    asins (amazon_merchant_autonomous.py:103-151)."""
+    return F.when(F.col("queue_kind") == "seller", 0).otherwise(1)
+
+
+def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split pending rows into (allowed, blocked) via a broadcast join on
+    (domain, path_bucket). Reference has no robots support (SURVEY Q13);
+    the north rule requires it."""
+    deny = robots.filter(~F.col("allow")).select("domain", "path_bucket")
+    blocked = pending.join(F.broadcast(deny), ["domain", "path_bucket"], "left_semi")
+    allowed = pending.join(F.broadcast(deny), ["domain", "path_bucket"], "left_anti")
+    return allowed, blocked
+
+
+def pop_batch(
+    allowed_pending: DataFrame,
+    domains: DataFrame,
+    seller_cap: int,
+    asin_cap: int,
+    seq_base: int,
+) -> DataFrame:
+    """Politeness-budgeted, deterministic frontier pop.
+
+    1. per-domain rank over (kind, priority, crawl_time, url_fp), keep
+       rank ≤ that domain's budget (Q1/Q4 politeness);
+    2. per-kind global FIFO cap (the reference's 5000-seller / 2000-asin
+       epoch limits, amazon_merchant_autonomous.py:81,99);
+    3. global fetch sequence number ``seq`` over the popped batch
+       (the crawl-order contract, Q2).
+    """
+    cand = allowed_pending.withColumn("kind_rank", kind_rank())
+
+    dom_budget = F.broadcast(domains.select("domain", "budget_per_epoch"))
+    w_dom = W.partitionBy("domain").orderBy(*POP_ORDER)
+    cand = (
+        cand.join(dom_budget, "domain", "left")
+        .withColumn("dom_rk", F.row_number().over(w_dom))
+        .filter(F.col("dom_rk") <= F.coalesce(F.col("budget_per_epoch"), F.lit(1)))
+    )
+
+    w_kind = W.partitionBy("queue_kind").orderBy("priority", "crawl_time", "url_fp")
+    kind_cap = F.when(F.col("queue_kind") == "seller", seller_cap).otherwise(asin_cap)
+    cand = cand.withColumn("kind_rk", F.row_number().over(w_kind)).filter(
+        F.col("kind_rk") <= kind_cap
+    )
+
+    # seq over the popped batch only (small), not the frontier table
+    w_seq = W.orderBy(*POP_ORDER)
+    return cand.withColumn(
+        "seq", F.row_number().over(w_seq).cast("long") + F.lit(seq_base).cast("long")
+    ).drop("kind_rank", "dom_rk", "kind_rk", "budget_per_epoch")
+
+
+def apply_fetch_outcome(popped_fetched: DataFrame, epoch: int) -> DataFrame:
+    """Post-fetch state transition for popped rows (Q6/K4):
+
+    * 200 → done
+    * retryable {404,429,503,520} with retry_times < 2 → stays pending,
+      retry_times+1, priority += RETRY_PRIORITY_ADJUST (retries sort first
+      next epoch — Q7), provider flips from the 2nd retry on
+      (middlewares.py:182-206)
+    * retryable with retries exhausted → failed
+    """
+    retryable = F.col("status_code").isin(*spec.RETRY_STATUS)
+    can_retry = retryable & (F.col("retry_times") < spec.RETRY_TIMES_MAX)
+    flip = F.when(F.col("provider") == "crawlera", "proxycrawl").otherwise("crawlera")
+    return (
+        popped_fetched.withColumn(
+            "status",
+            F.when(F.col("status_code") == 200, "done")
+            .when(can_retry, "pending")
+            .otherwise("failed"),
+        )
+        .withColumn(
+            "provider",
+            F.when(can_retry & (F.col("retry_times") >= 1), flip).otherwise(
+                F.col("provider")
+            ),
+        )
+        .withColumn(
+            "priority",
+            F.when(
+                can_retry, F.col("priority") + spec.RETRY_PRIORITY_ADJUST
+            ).otherwise(F.col("priority")),
+        )
+        .withColumn(
+            "retry_times",
+            F.when(can_retry, F.col("retry_times") + 1).otherwise(
+                F.col("retry_times")
+            ),
+        )
+        .withColumn("epoch", F.lit(epoch))
+    )
+
+
+def enqueue_children(
+    children: DataFrame,
+    frontier_fps: DataFrame,
+    epoch: int,
+) -> DataFrame:
+    """Turn discovered child URLs into new frontier rows.
+
+    * first-wins dedup within the epoch by fp, winner = lowest
+      (parent_seq, child_k) — the reference's insertion-ordered
+      `dict.fromkeys` dedup (D2);
+    * anti-join against ALL existing frontier fps — the URL-seen set
+      (J1/D7; `$setOnInsert` idempotence K2/D6);
+    * crawl_time = (epoch+1)·10⁹ + enqueue rank over (parent_seq, child_k)
+      — the FIFO position a sequential crawler would assign.
+
+    ``children`` needs columns: url, url_fp, domain, domain_hash,
+    queue_kind, path_bucket, parent_fp, parent_seq, child_k.
+    """
+    w_first = W.partitionBy("url_fp").orderBy("parent_seq", "child_k")
+    fresh = (
+        children.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .join(frontier_fps, "url_fp", "left_anti")
+    )
+    w_rank = W.orderBy("parent_seq", "child_k")
+    base = (epoch + 1) * 1_000_000_000
+    return fresh.select(
+        "url",
+        "url_fp",
+        "domain",
+        "domain_hash",
+        "queue_kind",
+        F.lit(0).alias("priority"),
+        (F.row_number().over(w_rank).cast("long") + F.lit(base - 1).cast("long")).alias(
+            "crawl_time"
+        ),
+        F.lit(0).alias("retry_times"),
+        F.lit("crawlera").alias("provider"),
+        F.lit("pending").alias("status"),
+        "path_bucket",
+        "parent_fp",
+        F.lit(epoch).alias("epoch"),
+    )

@@ -1,0 +1,230 @@
+"""Epoch driver: the autonomous crawl loop as one transaction per epoch.
+
+Reference: the `spider_idle` epoch (pop → fetch → parse → push,
+amazon_merchant_autonomous.py:60-154) with pending-flag resume semantics
+(pipelines.py:429-455). Here each epoch is a snapshot commit:
+
+    job_dir/epoch=NNNNN/frontier/    full frontier state (COW)
+    job_dir/epoch=NNNNN/crawl_log/   this epoch's fetches (the order contract)
+    job_dir/epoch=NNNNN/metrics/     counter rows
+    job_dir/epoch=NNNNN/_COMMIT      json marker — epoch is visible only
+                                     once this exists
+
+A killed job resumes from the last `_COMMIT`ed epoch exactly (uncommitted
+partial writes are ignored and overwritten) — the sandbox stand-in for
+Iceberg snapshot commits; on a cluster each epoch body becomes a single
+`MERGE INTO frontier` + two appends in one Iceberg transaction. The
+frontier is copy-on-write here; with an Iceberg table bucketed by
+``domain_hash``, MERGE rewrites only touched buckets.
+
+Determinism: no wall clock anywhere — crawl_time is a logical counter,
+seq a row_number over a total order ending in url_fp. Running the job at
+local[8] vs local[32] produces byte-identical crawl logs (asserted in
+tests/test_scaling_determinism.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import crawlspec as spec
+from ..operators import frontier as fr_ops
+from ..schemas import FRONTIER
+from ..sources import fetchsim
+
+FRONTIER_COLS = [f.name for f in FRONTIER.fields]
+
+
+@dataclass
+class CrawlParams:
+    images_path: str
+    seeds_path: str
+    domains_path: str
+    robots_path: str
+    job_dir: str
+    n_images: int
+    seller_cap: int = 5000  # amazon_merchant_autonomous.py:99
+    asin_cap: int = 2000  # amazon_merchant_autonomous.py:81
+    max_epochs: int = 50
+
+
+def _epoch_dir(job_dir: str, epoch: int) -> str:
+    return os.path.join(job_dir, f"epoch={epoch:05d}")
+
+
+def _commit_path(job_dir: str, epoch: int) -> str:
+    return os.path.join(_epoch_dir(job_dir, epoch), "_COMMIT")
+
+
+def last_committed_epoch(job_dir: str) -> int | None:
+    if not os.path.isdir(job_dir):
+        return None
+    best = None
+    for name in os.listdir(job_dir):
+        if name.startswith("epoch=") and os.path.exists(
+            os.path.join(job_dir, name, "_COMMIT")
+        ):
+            e = int(name.split("=")[1])
+            best = e if best is None else max(best, e)
+    return best
+
+
+def read_commit(job_dir: str, epoch: int) -> dict:
+    with open(_commit_path(job_dir, epoch)) as f:
+        return json.load(f)
+
+
+def bootstrap(spark: SparkSession, p: CrawlParams) -> None:
+    """Epoch 0: seeds → initial frontier snapshot (S4 seed-list source)."""
+    seeds = spark.read.parquet(p.seeds_path)
+    from ..functions import urlkit
+
+    canon = urlkit.canonicalize(F.col("url"))
+    fp = urlkit.url_fingerprint(canon)
+    domain = urlkit.domain_of(canon)
+    fr = seeds.select(
+        canon.alias("url"),
+        fp.alias("url_fp"),
+        domain.alias("domain"),
+        urlkit.domain_hash(domain).alias("domain_hash"),
+        "queue_kind",
+        F.lit(0).alias("priority"),
+        F.col("crawl_time").cast("long").alias("crawl_time"),
+        F.lit(0).alias("retry_times"),
+        F.lit("crawlera").alias("provider"),
+        F.lit("pending").alias("status"),
+        F.pmod(fp, F.lit(spec.N_PATH_BUCKETS)).cast("int").alias("path_bucket"),
+        F.lit(None).cast("long").alias("parent_fp"),
+        F.lit(0).alias("epoch"),
+    ).select(*FRONTIER_COLS)
+    ed = _epoch_dir(p.job_dir, 0)
+    if os.path.isdir(ed):
+        shutil.rmtree(ed)
+    fr.write.parquet(os.path.join(ed, "frontier"))
+    pending = spark.read.parquet(os.path.join(ed, "frontier")).count()
+    with open(_commit_path(p.job_dir, 0), "w") as f:
+        json.dump({"epoch": 0, "seq_base": 0, "pending": pending}, f)
+
+
+def run_epoch(spark: SparkSession, p: CrawlParams, epoch: int, seq_base: int) -> dict:
+    """One frontier epoch; returns the commit record."""
+    prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
+    fr = spark.read.parquet(prev)
+    images = spark.read.parquet(p.images_path)
+    domains = spark.read.parquet(p.domains_path)
+    robots = spark.read.parquet(p.robots_path)
+
+    pending = fr.filter(F.col("status") == "pending")
+    allowed, blocked = fr_ops.robots_split(pending, robots)
+    popped = fr_ops.pop_batch(allowed, domains, p.seller_cap, p.asin_cap, seq_base)
+    payload = fetchsim.join_payload(popped, images)
+    fetched = fetchsim.fetch_statuses(payload).persist()
+
+    ed = _epoch_dir(p.job_dir, epoch)
+    if os.path.isdir(ed):
+        shutil.rmtree(ed)  # uncommitted partial epoch → overwrite
+
+    # ---- crawl log (the order contract) -------------------------------
+    fetched.select(
+        F.lit(epoch).alias("epoch"),
+        "seq",
+        "url_fp",
+        "domain",
+        "queue_kind",
+        "status_code",
+        "image_id",
+    ).write.parquet(os.path.join(ed, "crawl_log"))
+    crawl_log = spark.read.parquet(os.path.join(ed, "crawl_log"))
+
+    # ---- frontier transition ------------------------------------------
+    children = fetchsim.discover_children(fetched, p.n_images)
+    new_rows = fr_ops.enqueue_children(
+        children, fr.select("url_fp"), epoch
+    ).select(*FRONTIER_COLS)
+    updated = (
+        fr_ops.apply_fetch_outcome(fetched, epoch).select(*FRONTIER_COLS)
+    )
+    blocked_rows = blocked.withColumn("status", F.lit("robots_blocked")).withColumn(
+        "epoch", F.lit(epoch)
+    ).select(*FRONTIER_COLS)
+    touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
+    untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
+    next_fr = untouched.unionByName(updated).unionByName(blocked_rows).unionByName(
+        new_rows
+    )
+    next_fr.write.parquet(os.path.join(ed, "frontier"))
+    fetched.unpersist()
+
+    # ---- metrics (A3/A4 counter tree) ----------------------------------
+    fr2 = spark.read.parquet(os.path.join(ed, "frontier"))
+    by_status = crawl_log.groupBy("status_code").count().collect()
+    n_popped = sum(r["count"] for r in by_status)
+    n_new = fr2.filter(F.col("epoch") == epoch).filter(
+        (F.col("status") == "pending") & (F.col("retry_times") == 0)
+    ).count()
+    n_blocked = fr2.filter(
+        (F.col("status") == "robots_blocked") & (F.col("epoch") == epoch)
+    ).count()
+    n_pending = fr2.filter(F.col("status") == "pending").count()
+    metrics = [
+        (epoch, "pop/total", n_popped),
+        (epoch, "push/new_urls", n_new),
+        (epoch, "robots/blocked", n_blocked),
+        (epoch, "frontier/pending_after", n_pending),
+    ] + [(epoch, f"fetch/status/{r['status_code']}", r["count"]) for r in by_status]
+    spark.createDataFrame(metrics, "epoch int, metric_key string, n long").coalesce(
+        1
+    ).write.parquet(os.path.join(ed, "metrics"))
+
+    rec = {"epoch": epoch, "seq_base": seq_base + n_popped, "pending": n_pending,
+           "popped": n_popped}
+    with open(_commit_path(p.job_dir, epoch), "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
+def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
+    """Run (or resume) the crawl to termination (Q8) or the epoch cap.
+
+    Returns {"epochs": E, "total_fetched": n, ...} summary."""
+    last = last_committed_epoch(p.job_dir) if resume else None
+    if last is None:
+        if os.path.isdir(p.job_dir):
+            shutil.rmtree(p.job_dir)
+        os.makedirs(p.job_dir, exist_ok=True)
+        bootstrap(spark, p)
+        last = 0
+    state = read_commit(p.job_dir, last)
+    epoch = last
+    while state["pending"] > 0 and epoch < p.max_epochs:
+        epoch += 1
+        state = run_epoch(spark, p, epoch, state["seq_base"])
+    return {
+        "epochs": epoch,
+        "total_fetched": state["seq_base"],
+        "pending": state["pending"],
+        "done": state["pending"] == 0,
+    }
+
+
+def read_crawl_log(spark: SparkSession, job_dir: str) -> DataFrame:
+    """Union of all committed epochs' crawl logs."""
+    last = last_committed_epoch(job_dir)
+    dirs = [
+        os.path.join(_epoch_dir(job_dir, e), "crawl_log")
+        for e in range(1, (last or 0) + 1)
+        if os.path.exists(_commit_path(job_dir, e))
+        and os.path.isdir(os.path.join(_epoch_dir(job_dir, e), "crawl_log"))
+    ]
+    return spark.read.parquet(*dirs)
+
+
+def read_final_frontier(spark: SparkSession, job_dir: str) -> DataFrame:
+    last = last_committed_epoch(job_dir)
+    return spark.read.parquet(os.path.join(_epoch_dir(job_dir, last), "frontier"))

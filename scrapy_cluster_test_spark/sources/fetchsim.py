@@ -1,0 +1,153 @@
+"""Deterministic fetch stage: popped frontier rows → fetched page rows.
+
+Reference: the proxied HTTP downloader + retry middleware
+(scrapy_project/project/utils.py:90-151, middlewares.py:22-233). In this
+sandbox there is no network, so the "web" is a pure function of the image
+table (crawlspec.py): page j serves image j's payload; its status code and
+child links derive from image j's phash.
+
+Dataflow (all DataFrame ops; Python only inside Arrow batches):
+
+1. derive ``image_id`` from the URL path natively (regexp_extract) —
+   no UDF;
+2. join the popped batch against the images table. The popped side is
+   tiny (≤ Σ budgets) so it broadcasts; the images table is partitioned by
+   ``img_bucket`` so dynamic partition pruning skips untouched buckets —
+   at 10^10 rows the scan reads only the buckets this epoch touches;
+3. one ``mapInPandas`` pass computes status codes and fans out child
+   links with vectorized numpy (no per-row Python).
+
+Child URL strings are built with vectorized pandas str ops; their
+fingerprints/domain hashes are computed NATIVELY afterwards
+(F.xxhash64 on the canonical URL) so the hot hashing path stays in the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import crawlspec as spec
+from ..functions import urlkit
+
+FETCH_SCHEMA = (
+    "seq long, url_fp long, domain string, queue_kind string, priority int, "
+    "crawl_time long, retry_times int, provider string, status_code int, "
+    "image_id string, phash long"
+)
+
+CHILD_SCHEMA = "parent_seq long, parent_fp long, child_k int, url string, queue_kind string"
+
+
+def attach_image_id(popped: DataFrame) -> DataFrame:
+    """image_id from the URL path: .../{kind}/{j:010d} → img{j:010d}."""
+    return popped.withColumn(
+        "image_id",
+        F.concat(F.lit("img"), F.regexp_extract("url", r"/(\d{10})$", 1)),
+    )
+
+
+def join_payload(popped: DataFrame, images: DataFrame, with_bytes: bool = False) -> DataFrame:
+    """Join the popped batch to its page payloads.
+
+    Broadcast the popped side; Catalyst prunes the image columns not
+    selected (bytes stays unread unless requested — check ReadSchema in
+    .explain)."""
+    cols = ["image_id", "phash"] + (["bytes", "caption", "w", "h", "fmt"] if with_bytes else [])
+    im = images.select(*cols)
+    return im.join(F.broadcast(attach_image_id(popped)), "image_id", "inner")
+
+
+def fetch_statuses(popped_with_payload: DataFrame) -> DataFrame:
+    """Status codes are integer arithmetic on phash — native columns, no UDF."""
+    p = F.col("phash")
+    # unsigned interpretation of the signed 64-bit phash, mod small primes:
+    # pmod on the signed value matches crawlspec's (phash & MASK) % m only
+    # when m divides 2^64-offset... it does not — so compute via the same
+    # two-limb trick: (phash & MASK) % m == pmod(pmod(2^32,m)*pmod(hi,m) + pmod(lo,m), m)
+    hi = F.shiftrightunsigned(p, 32)
+    lo = p.bitwiseAND(F.lit(0xFFFFFFFF))
+
+    def umod(m: int):
+        return F.pmod(F.pmod(F.lit((1 << 32) % m), m) * F.pmod(hi, m) + F.pmod(lo, m), m)
+
+    return popped_with_payload.withColumn(
+        "status_code",
+        F.when(umod(97) == 0, 503)
+        .when(umod(131) == 0, 404)
+        .when(umod(35) == 0, 520)
+        .otherwise(200)
+        .cast("int"),
+    )
+
+
+def _children_batches(n_images: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ok = pdf[pdf["status_code"] == 200]
+            if ok.empty:
+                continue
+            phash = ok["phash"].to_numpy(np.int64).view(np.uint64)
+            n_child = np.minimum(phash % np.uint64(35), np.uint64(spec.MAX_CHILDREN)).astype(
+                np.int64
+            )
+            parent_seq = ok["seq"].to_numpy(np.int64)
+            parent_fp = ok["url_fp"].to_numpy(np.int64)
+            child_kind = ok["queue_kind"].map(spec.child_kind).to_numpy()
+            out = []
+            for k in range(spec.MAX_CHILDREN):
+                mask = n_child > k
+                if not mask.any():
+                    break
+                j = spec.child_indices_np(phash[mask].view(np.int64), k, n_images)
+                d = spec.domain_id_np(j)
+                urls = (
+                    "https://d"
+                    + pd.Series(d).astype(str).str.zfill(4)
+                    + ".example.com/"
+                    + pd.Series(child_kind[mask])
+                    + "/"
+                    + pd.Series(j).astype(str).str.zfill(10)
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "parent_seq": parent_seq[mask],
+                            "parent_fp": parent_fp[mask],
+                            "child_k": np.full(mask.sum(), k, np.int32),
+                            "url": urls.to_numpy(),
+                            "queue_kind": child_kind[mask],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return gen
+
+
+def discover_children(fetched: DataFrame, n_images: int) -> DataFrame:
+    """200-pages → child link rows, with native fp/domain/bucket columns."""
+    raw = fetched.select(
+        "seq", "url_fp", "queue_kind", "status_code", "phash"
+    ).mapInPandas(_children_batches(n_images), schema=CHILD_SCHEMA)
+    canon = urlkit.canonicalize(F.col("url"))
+    fp = urlkit.url_fingerprint(canon)
+    domain = urlkit.domain_of(canon)
+    return raw.select(
+        F.col("url"),
+        fp.alias("url_fp"),
+        domain.alias("domain"),
+        urlkit.domain_hash(domain).alias("domain_hash"),
+        "queue_kind",
+        F.pmod(fp, F.lit(spec.N_PATH_BUCKETS)).cast("int").alias("path_bucket"),
+        "parent_fp",
+        "parent_seq",
+        "child_k",
+    )
