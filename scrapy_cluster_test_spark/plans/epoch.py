@@ -52,6 +52,11 @@ class CrawlParams:
     seller_cap: int = 5000  # amazon_merchant_autonomous.py:99
     asin_cap: int = 2000  # amazon_merchant_autonomous.py:81
     max_epochs: int = 50
+    # Bloom pre-filter for the seen-set anti-join (north rule). Results are
+    # identical either way (no false negatives); the bloom only shrinks the
+    # anti-join's probe side — mandatory at 10^10, optional here.
+    use_bloom: bool = False
+    bloom_shards: int = 16
 
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
@@ -144,9 +149,22 @@ def run_epoch(spark: SparkSession, p: CrawlParams, epoch: int, seq_base: int) ->
 
     # ---- frontier transition ------------------------------------------
     children = fetchsim.discover_children(fetched, p.n_images)
-    new_rows = fr_ops.enqueue_children(
-        children, fr.select("url_fp"), epoch
-    ).select(*FRONTIER_COLS)
+    frontier_fps = fr.select("url_fp")
+    if p.use_bloom:
+        from ..operators import seen as seen_ops
+
+        bloom = seen_ops.build_bloom(frontier_fps, n_shards=p.bloom_shards)
+        # first-wins dedup within the epoch must still run (it's not a
+        # seen-set concern); enqueue_children handles it, so hand it the
+        # bloom-thinned candidate set with an already-resolved seen check.
+        thinned = seen_ops.filter_new(spark, children, frontier_fps, bloom)
+        new_rows = fr_ops.enqueue_children(
+            thinned, frontier_fps.limit(0), epoch
+        ).select(*FRONTIER_COLS)
+    else:
+        new_rows = fr_ops.enqueue_children(children, frontier_fps, epoch).select(
+            *FRONTIER_COLS
+        )
     updated = (
         fr_ops.apply_fetch_outcome(fetched, epoch).select(*FRONTIER_COLS)
     )

@@ -1,0 +1,63 @@
+"""Bloom seen-filter: no false negatives, same result set as exact
+anti-join, delta updates, and sane false-positive rate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_cluster_test_spark.operators import seen
+
+
+@pytest.fixture(scope="module")
+def fps(spark):
+    # deterministic fp universe: 20k "seen" + 20k candidates (half overlap)
+    seen_df = spark.range(0, 20000).select(
+        F.xxhash64(F.col("id")).alias("url_fp")
+    )
+    cand_df = spark.range(10000, 30000).select(
+        F.xxhash64(F.col("id")).alias("url_fp")
+    )
+    return seen_df, cand_df
+
+
+def test_bloom_no_false_negatives(spark, fps):
+    seen_df, _ = fps
+    bloom = seen.build_bloom(seen_df)
+    marked = seen.mark_probably_seen(spark, seen_df, bloom)
+    assert marked.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_filter_new_equals_exact(spark, fps):
+    seen_df, cand_df = fps
+    bloom = seen.build_bloom(seen_df)
+    via_bloom = {
+        r.url_fp for r in seen.filter_new(spark, cand_df, seen_df, bloom).collect()
+    }
+    exact = {r.url_fp for r in cand_df.join(seen_df, "url_fp", "left_anti").collect()}
+    assert via_bloom == exact
+    assert len(exact) == 10000
+
+
+def test_bloom_fp_rate(spark, fps):
+    seen_df, cand_df = fps
+    bloom = seen.build_bloom(seen_df)
+    fresh = cand_df.join(seen_df, "url_fp", "left_anti")
+    marked = seen.mark_probably_seen(spark, fresh, bloom)
+    fp_rate = marked.filter(F.col("maybe_seen")).count() / fresh.count()
+    # 10 bits/key, k=5 → theoretical ~1%; allow slack
+    assert fp_rate < 0.05, fp_rate
+
+
+def test_bloom_delta_update(spark, fps):
+    seen_df, cand_df = fps
+    bloom = seen.build_bloom(seen_df)
+    delta = np.array(
+        [r.url_fp for r in cand_df.limit(500).collect()], dtype=np.int64
+    )
+    bloom2 = bloom.add_delta(delta)
+    assert bool(bloom2.probe_np(delta).all())
+    # old keys still present
+    old = np.array([r.url_fp for r in seen_df.limit(500).collect()], dtype=np.int64)
+    assert bool(bloom2.probe_np(old).all())
