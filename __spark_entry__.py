@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scrapy_cluster_test_spark.plans import catalog as _catalog  # noqa: E402
+from scrapy_cluster_test_spark.plans import catalog_ml as _catalog_ml  # noqa: E402,F401  (registers ML queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,159 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — all expressed with native Spark SQL functions
+(explode / groupBy / self-join); no Python in the hot path, so every stage
+is whole-stage-codegen'd and scales with ordinary shuffles on
+content-derived keys.
+
+Reference parallel: the reference dedups entities by key anti-joins
+(pipelines.py:457-530) and first-wins dicts (SURVEY D2-D7); these operators
+generalize that to *content* dedup, the dominant op in a 100 TB
+training-data pipeline.
+
+Cross-engine determinism notes (these must oracle-match DuckDB):
+* hash family = md5 strings — identical in both engines; MinHash uses the
+  LEXICOGRAPHIC MIN of salted md5 hex digests (a valid permutation family,
+  no integer conversion needed);
+* where an integer hash is needed (SimHash), the first 8 md5 hex chars are
+  parsed as a 32-bit integer on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BANDS = 4
+
+
+def words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("ws", F.split(F.col(text_col), " "))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (1-based positions)."""
+    w = words(df, text_col)
+    gram = F.concat_ws(
+        " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
+    )
+    return (
+        w.select(id_col, F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"), "ws")
+        .select(id_col, gram.alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: groups of byte-identical documents.
+    Output: (content_hash, n_dups, keeper_id). One shuffle on the hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """One minhash per band: min over shingles of md5('b{b}|' + shingle).
+    Output: (id, h0..h{bands-1})."""
+    sh = shingles(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle")))).alias(f"h{b}")
+        for b in range(bands)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs: documents sharing ANY band
+    bucket. Output: distinct (id_a, id_b) with id_a < id_b.
+
+    Scale shape: signatures shuffle once on the band hash (the bucket
+    join key); the self-join per band is an equi-join Catalyst plans as
+    shuffle-hash; hot buckets are bounded because a bucket of size s
+    yields s² pairs — monitor via bucket-size metrics at 100 TB."""
+    sig = minhash_signatures(df, id_col, text_col, bands)
+    pairs = None
+    for b in range(bands):
+        a = sig.select(F.col(id_col).alias("id_a"), F.col(f"h{b}").alias("bucket"))
+        bb = sig.select(F.col(id_col).alias("id_b"), F.col(f"h{b}").alias("bucket"))
+        p = a.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def _word_hash32(col: F.Column) -> F.Column:
+    """First 8 md5 hex chars as a 32-bit integer — identical in DuckDB via
+    CAST(concat('0x', substr(md5(w),1,8)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over words: per bit, sum +1/-1 votes across (repeated)
+    tokens; bit set if the vote is positive. Output: (id, simhash)."""
+    w = words(df, text_col).select(id_col, F.explode("ws").alias("word"))
+    w = w.withColumn("h", _word_hash32(F.col("word")))
+    bits = w.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        # shiftright's Python wrapper wants a literal; the SQL form takes
+        # a column for the shift amount
+        "vote",
+        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1),
+    )
+    votes = bits.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                0
+            )
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, pairs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for a given candidate pair set.
+    ``pairs``: (id_a, id_b). Output: (id_a, id_b, inter, union_n, jaccard).
+
+    The pair set bounds the cost — feed it LSH candidates, never the full
+    cross product."""
+    sh = shingles(df, id_col, text_col, n)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("long").alias("union_n"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

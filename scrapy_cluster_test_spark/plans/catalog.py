@@ -42,6 +42,10 @@ def query(name: str, oracle: str | None):
 
 
 def catalog() -> dict[str, CatalogEntry]:
+    """All registered entries. Importing the sibling modules here (lazily,
+    to avoid a circular import) guarantees their @query registrations ran."""
+    from . import catalog_ml  # noqa: F401
+
     return dict(_CATALOG)
 
 

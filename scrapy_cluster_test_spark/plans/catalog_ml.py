@@ -1,0 +1,299 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis)
+registered into the main catalog, each with a DuckDB oracle over the
+driver-provided ``documents`` and ``embeddings`` tables.
+
+Cross-engine determinism: string hashes are md5 (identical); integer
+hashes parse md5 hex prefixes; float cosines fold element-by-element in
+BOTH engines (Spark ``aggregate`` vs DuckDB ``sum(... ORDER BY i)``) so
+they are bit-identical and rank windows agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedupe, similarity, textanalysis
+from ..sources import tables
+from .catalog import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+_SHINGLES_SQL = """
+    w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    sh0 AS (SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+            FROM w, LATERAL unnest(generate_series(1, len(ws)-2)) AS t(i)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+
+@query(
+    "dedup_exact_hash",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy, keeper = min id (SURVEY D4/D6
+    generalized to content). One shuffle on the 128-bit content hash."""
+    return dedupe.exact_dedup_groups(_docs(spark, sf_dir), "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+            min(md5(concat('b0|', shingle))) AS h0,
+            min(md5(concat('b1|', shingle))) AS h1,
+            min(md5(concat('b2|', shingle))) AS h2,
+            min(md5(concat('b3|', shingle))) AS h3
+            FROM sh GROUP BY doc_id)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word-trigram shingles → per-band
+    minhash (lexicographic min of salted md5 — a valid permutation family
+    needing no integer conversion) → bucket self-join → distinct pairs."""
+    return dedupe.lsh_candidate_pairs(
+        _docs(spark, sf_dir), "doc_id"
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word),1,8)) AS BIGINT) AS h FROM w),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM h, LATERAL unnest(generate_series(0, 31)) AS t(b)
+             GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token votes per bit). Hamming-close
+    simhashes → near-dups; the hash itself is the oracle-checked output."""
+    return dedupe.simhash(_docs(spark, sf_dir), "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+              FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT p.id_a, p.id_b, count(*) AS i_n
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.id_a
+              JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+              GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           CAST(coalesce(i_n, 0) AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - coalesce(i_n, 0) AS BIGINT) AS union_n,
+           CAST(coalesce(i_n, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i_n, 0) AS DOUBLE) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram Jaccard over a bounded candidate pair set (adjacent
+    ids here; LSH candidates in production — never the cross product)."""
+    d = _docs(spark, sf_dir)
+    ids = d.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return dedupe.ngram_jaccard_pairs(d, "doc_id", pairs)
+
+
+_EMB_EXPAND_SQL = """
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x ORDER BY i)) AS nr FROM ex GROUP BY vec_id)
+"""
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+    WITH {_EMB_EXPAND_SQL},
+    dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x ORDER BY a.i) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY a.vec_id, b.vec_id)
+    SELECT va AS vec_a, vb AS vec_b
+    FROM dots JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+    WHERE dot / (na.nr * nb.nr) >= 0.38
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.38 ≈ p99.9 of the
+    synthetic corpus). Cosine folds element-in-order as doubles on both
+    engines → bit-identical, so the threshold cut is exact."""
+    e = _embs(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        similarity.with_cosine(pairs)
+        .filter(F.col("cosine") >= 0.38)
+        .select("vec_a", "vec_b")
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH {_EMB_EXPAND_SQL},
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    sum(a.x * b.x ORDER BY a.i) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id != b.vec_id
+             WHERE a.vec_id IN (SELECT vec_id FROM q)
+             GROUP BY a.vec_id, b.vec_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (na.nr * nb.nr) AS c
+               FROM dots JOIN nrm na ON na.vec_id = query_id
+                         JOIN nrm nb ON nb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the query subset (vec_id%50==0):
+    the ANN baseline. The LSH-bucketed scale path is benchmarked against
+    this for recall in tests/test_similarity.py."""
+    e = _embs(spark, sf_dir)
+    return similarity.brute_force_topk(
+        e, e.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(string_split(' ' || text || ' ', ' der ')) - 1
+          + len(string_split(' ' || text || ' ', ' die ')) - 1
+          + len(string_split(' ' || text || ' ', ' das ')) - 1
+          + len(string_split(' ' || text || ' ', ' und ')) - 1 AS s_de,
+        len(string_split(' ' || text || ' ', ' the ')) - 1
+          + len(string_split(' ' || text || ' ', ' a ')) - 1
+          + len(string_split(' ' || text || ' ', ' fast ')) - 1
+          + len(string_split(' ' || text || ' ', ' slow ')) - 1 AS s_en,
+        len(string_split(' ' || text || ' ', ' el ')) - 1
+          + len(string_split(' ' || text || ' ', ' la ')) - 1
+          + len(string_split(' ' || text || ' ', ' y ')) - 1
+          + len(string_split(' ' || text || ' ', ' rapido ')) - 1 AS s_es,
+        len(string_split(' ' || text || ' ', ' le ')) - 1
+          + len(string_split(' ' || text || ' ', ' la ')) - 1
+          + len(string_split(' ' || text || ' ', ' et ')) - 1
+          + len(string_split(' ' || text || ' ', ' petit ')) - 1 AS s_fr,
+        len(string_split(' ' || text || ' ', ' de ')) - 1
+          + len(string_split(' ' || text || ' ', ' shi ')) - 1
+          + len(string_split(' ' || text || ' ', ' bu ')) - 1
+          + len(string_split(' ' || text || ' ', ' le ')) - 1 AS s_zh
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_score
+    FROM s
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: deterministic score-argmax with code-order
+    tiebreak. (Real corpora swap the marker lists for char-trigram
+    profiles; the dataflow is identical.)"""
+    return textanalysis.lang_id(_docs(spark, sf_dir))
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars,
+             len(string_split(' ' || text || ' ', ' the ')) - 1
+               + len(string_split(' ' || text || ' ', ' a ')) - 1
+               + len(string_split(' ' || text || ' ', ' of ')) - 1
+               + len(string_split(' ' || text || ' ', ' and ')) - 1
+               + len(string_split(' ' || text || ' ', ' to ')) - 1
+               + len(string_split(' ' || text || ' ', ' in ')) - 1 AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+           CAST(stop_hits AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN CAST(stop_hits AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality_score
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality gates (length, word shape, stopword ratio) — the
+    first-pass filter of a 100 TB text pipeline."""
+    return textanalysis.quality_score(_docs(spark, sf_dir))
+
+
+@query(
+    "token_count_bpeish",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(ceil(length(word) / 4.0)) AS BIGINT) AS bpe_tokens
+    FROM w GROUP BY doc_id
+    """,
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish ceil(len/4) subword
+    estimate, computed with array fold (no explode-shuffle in Spark)."""
+    return textanalysis.token_count(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    WITH {_SHINGLES_SQL},
+    fp AS (SELECT doc_id, min(md5(concat('fp|', shingle))) AS fp_hex
+           FROM sh GROUP BY doc_id)
+    SELECT doc_id, fp_hex,
+           CAST(concat('0x', substr(fp_hex, 1, 15)) AS BIGINT) AS fp_int
+    FROM fp
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-shingle fingerprint (hex + 60-bit int form)."""
+    return textanalysis.fingerprint(_docs(spark, sf_dir))
