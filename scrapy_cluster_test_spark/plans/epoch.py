@@ -179,17 +179,28 @@ def run_epoch(spark: SparkSession, p: CrawlParams, epoch: int, seq_base: int) ->
     next_fr.write.parquet(os.path.join(ed, "frontier"))
     fetched.unpersist()
 
-    # ---- metrics (A3/A4 counter tree) ----------------------------------
+    # ---- metrics (A3/A4 counter tree) — one aggregation job per table --
     fr2 = spark.read.parquet(os.path.join(ed, "frontier"))
     by_status = crawl_log.groupBy("status_code").count().collect()
     n_popped = sum(r["count"] for r in by_status)
-    n_new = fr2.filter(F.col("epoch") == epoch).filter(
-        (F.col("status") == "pending") & (F.col("retry_times") == 0)
-    ).count()
-    n_blocked = fr2.filter(
-        (F.col("status") == "robots_blocked") & (F.col("epoch") == epoch)
-    ).count()
-    n_pending = fr2.filter(F.col("status") == "pending").count()
+    agg = fr2.agg(
+        F.sum(
+            (
+                (F.col("epoch") == epoch)
+                & (F.col("status") == "pending")
+                & (F.col("retry_times") == 0)
+            ).cast("long")
+        ).alias("n_new"),
+        F.sum(
+            (
+                (F.col("status") == "robots_blocked") & (F.col("epoch") == epoch)
+            ).cast("long")
+        ).alias("n_blocked"),
+        F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
+    ).collect()[0]
+    n_new = int(agg["n_new"] or 0)
+    n_blocked = int(agg["n_blocked"] or 0)
+    n_pending = int(agg["n_pending"] or 0)
     metrics = [
         (epoch, "pop/total", n_popped),
         (epoch, "push/new_urls", n_new),
