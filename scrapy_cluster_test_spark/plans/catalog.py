@@ -44,7 +44,7 @@ def query(name: str, oracle: str | None):
 def catalog() -> dict[str, CatalogEntry]:
     """All registered entries. Importing the sibling modules here (lazily,
     to avoid a circular import) guarantees their @query registrations ran."""
-    from . import catalog_ml  # noqa: F401
+    from . import catalog_ext, catalog_ml  # noqa: F401
 
     return dict(_CATALOG)
 

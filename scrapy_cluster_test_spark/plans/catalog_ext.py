@@ -1,0 +1,327 @@
+"""Extended catalog queries: set ops, sessionization, JSON decode, sales
+estimation, pivots, array ops — completing the SURVEY §2 inventory over
+the driver's tables, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import tables
+from .catalog import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+@query(
+    "set_except_union",
+    """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+         recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+    SELECT o_custkey, 'hi_only' AS tag FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM recent)
+    UNION ALL
+    SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM recent)
+    """,
+)
+def set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops U1/U2/U4: except + intersect + tagged union
+    (the reference's Python set-minus dedup, pipelines.py:463-468)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    recent = (
+        o.filter(F.col("o_orderdate") >= "1997-06-01").select("o_custkey").distinct()
+    )
+    return (
+        hi.exceptAll(hi.join(recent, "o_custkey", "left_semi"))
+        .withColumn("tag", F.lit("hi_only"))
+        .unionByName(
+            hi.join(recent, "o_custkey", "left_semi").withColumn("tag", F.lit("both"))
+        )
+    )
+
+
+@query(
+    "array_page_except",
+    """
+    WITH pages AS (
+      SELECT o_orderkey,
+             CAST(least(ceil(o_totalprice / 30000.0), 12) AS BIGINT) AS max_page,
+             [1 + CAST(o_orderkey % 3 AS BIGINT), 2 + CAST(o_orderkey % 5 AS BIGINT)] AS button_pages
+      FROM orders WHERE o_totalprice > 60000)
+    SELECT o_orderkey,
+           list_sort(list_filter(generate_series(2, max_page),
+                                 p -> NOT list_contains(button_pages, p))) AS fetch_pages
+    FROM pages
+    """,
+)
+def array_page_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-difference U3: computed page range minus visible buttons
+    (amazon_merchant_autonomous.py:325; array_except over sequence)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 60000)
+    pages = o.select(
+        "o_orderkey",
+        F.least(F.ceil(F.col("o_totalprice") / 30000.0), F.lit(12))
+        .cast("long")
+        .alias("max_page"),
+        F.array(
+            (F.col("o_orderkey") % 3 + 1).cast("long"),
+            (F.col("o_orderkey") % 5 + 2).cast("long"),
+        ).alias("button_pages"),
+    )
+    return pages.select(
+        "o_orderkey",
+        F.array_sort(
+            F.array_except(
+                F.sequence(F.lit(2).cast("long"), F.col("max_page")),
+                F.col("button_pages"),
+            )
+        ).alias("fetch_pages"),
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH e AS (SELECT user_id, ts, event_id FROM events),
+    gaps AS (SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         THEN 1 ELSE 0 END AS is_new
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (SELECT user_id, ts, event_id,
+                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+             FROM gaps)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS first_event
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum — the
+    batch form of streaming session windows (SURVEY §2.11 has none in the
+    reference; standard for crawl-session analytics)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+@query(
+    "json_props_decode",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def json_props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (job `data` JSON, utils.py:77-78 → SURVEY F22)
+    via from_json with an explicit schema — no schema inference at scale."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_value"),
+    )
+
+
+@query(
+    "sales_estimation_lookup",
+    """
+    WITH lookup(category, slope, a, b) AS (
+      VALUES ('BUILDING', 2.0, 5.0, -0.6),
+             ('MACHINERY', 1.5, 4.5, -0.5),
+             ('AUTOMOBILE', 1.0, 4.0, -0.4)),
+    ranked AS (
+      SELECT c.c_custkey, c.c_mktsegment AS category,
+             CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                                     ORDER BY c.c_acctbal DESC, c.c_custkey) AS BIGINT) AS rnk
+      FROM customer c WHERE c.c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE'))
+    SELECT r.c_custkey, r.category, r.rnk,
+           CASE WHEN r.rnk <= 150 THEN 100.0 - l.slope * r.rnk
+                ELSE exp(l.a) * pow(CAST(r.rnk AS DOUBLE), l.b) END AS est_sales
+    FROM ranked r JOIN lookup l USING (category)
+    """,
+)
+def sales_estimation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales-estimation model: broadcast lookup join + linear/power-law
+    branch (core/sellgo_core/utils/sales_estimator.py:17-33 → SURVEY
+    J3/F19). exp/pow of identical doubles — bit-stable cross-engine."""
+    lookup = spark.createDataFrame(
+        [
+            ("BUILDING", 2.0, 5.0, -0.6),
+            ("MACHINERY", 1.5, 4.5, -0.5),
+            ("AUTOMOBILE", 1.0, 4.0, -0.4),
+        ],
+        "category string, slope double, a double, b double",
+    )
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    ranked = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("category"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    est = F.when(
+        F.col("rnk") <= 150, 100.0 - F.col("slope") * F.col("rnk")
+    ).otherwise(F.exp(F.col("a")) * F.pow(F.col("rnk").cast("double"), F.col("b")))
+    return ranked.join(F.broadcast(lookup), "category").select(
+        "c_custkey", "category", "rnk", est.alias("est_sales")
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS st_open,
+           CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS st_filled,
+           CAST(count(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS st_partial
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status × segment counter matrix) — the counter-tree A3 laid
+    out wide. Spark .pivot() with explicit values → no extra pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("O").alias("st_open"),
+        F.col("F").alias("st_filled"),
+        F.col("P").alias("st_partial"),
+    )
+
+
+@query(
+    "rollup_hierarchy",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region_name,
+           coalesce(n.n_name, 'ALL') AS nation_name,
+           CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (grouping-sets coverage —
+    absent in the reference's Mongo plane, SURVEY §2.6 note)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_suppliers",
+            "sum_acctbal",
+        )
+    )
+
+
+@query(
+    "approx_vs_exact_distinct",
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+    FROM lineitem
+    """,
+)
+def approx_vs_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct pair (A1). The approx_count_distinct variant is
+    engine-specific (HLL seeds differ), so the oracle checks the exact
+    side; the approx path is exercised in tests with a tolerance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+
+
+@query(
+    "url_kernel_parse",
+    """
+    WITH urls AS (
+      SELECT o_orderkey,
+             concat('https://D', CAST(o_custkey % 50 AS VARCHAR),
+                    '.Example.COM/asin/', CAST(o_orderkey AS VARCHAR),
+                    '?z=', o_orderstatus, '&a=1#frag') AS url
+      FROM orders)
+    SELECT o_orderkey,
+           lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host,
+           regexp_extract(url, '/asin/([0-9]+)', 1) AS asin,
+           regexp_extract(url, '[?&]z=([^&#]+)', 1) AS z_param
+    FROM urls
+    """,
+)
+def url_kernel_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL param extraction F1/F3 (parse_qs probes,
+    spiders/amazon_merchant.py:105-121) over synthesized URLs — regex
+    form so DuckDB can mirror it (the engine's hot path uses parse_url,
+    tested for parity in test_urlkit.py)."""
+    o = _t(spark, sf_dir, "orders")
+    urls = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://D"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".Example.COM/asin/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("?z="),
+            F.col("o_orderstatus"),
+            F.lit("&a=1#frag"),
+        ).alias("url"),
+    )
+    return urls.select(
+        "o_orderkey",
+        F.lower(F.regexp_extract("url", r"https://([^/]+)/", 1)).alias("host"),
+        F.regexp_extract("url", r"/asin/([0-9]+)", 1).alias("asin"),
+        F.regexp_extract("url", r"[?&]z=([^&#]+)", 1).alias("z_param"),
+    )
