@@ -41,11 +41,12 @@ cores = {cores}
 mode = {mode!r}
 n_images = {n_images}
 universe = {universe!r}
+budget_scale = {budget_scale}
 
 spark = get_spark(f"sct-bench-{{cores}}", cores=cores)
 if not os.path.exists(os.path.join(universe, "robots.parquet")):
     datagen.generate_all(spark, universe, n_images=n_images, n_seeds=500,
-                         budget_scale=5.0)
+                         budget_scale=budget_scale)
 
 job = f"/tmp/sct_bench_job_c{{cores}}_{{mode}}"
 p = ep.CrawlParams(
@@ -54,7 +55,7 @@ p = ep.CrawlParams(
     domains_path=f"{{universe}}/domains.parquet",
     robots_path=f"{{universe}}/robots.parquet",
     job_dir=job, n_images=n_images,
-    seller_cap=40000, asin_cap=40000, max_epochs=30, use_bloom=True)
+    seller_cap=500000, asin_cap=500000, max_epochs=30, use_bloom=True)
 t0 = time.perf_counter()
 summary = ep.run_crawl(spark, p, resume=False)
 wall = time.perf_counter() - t0
@@ -82,9 +83,14 @@ spark.stop()
 """
 
 
-def run_level(cores: int, mode: str, n_images: int) -> dict:
+def run_level(cores: int, mode: str, n_images: int, budget_scale: float) -> dict:
     code = _WORKER.format(
-        repo=REPO, cores=cores, mode=mode, n_images=n_images, universe=UNIVERSE
+        repo=REPO,
+        cores=cores,
+        mode=mode,
+        n_images=n_images,
+        universe=UNIVERSE,
+        budget_scale=budget_scale,
     )
     t0 = time.time()
     out = subprocess.run(
@@ -103,17 +109,21 @@ def run_level(cores: int, mode: str, n_images: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-images", type=int, default=30000)
+    ap.add_argument("--n-images", type=int, default=150000)
     ap.add_argument("--mode", choices=["sched", "decode", "both"], default="both")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    # politeness budgets scaled up for the bench so epochs are few and fat
+    # (per-epoch fixed latency amortizes over real work, as it would at
+    # 10^10 where an epoch pops millions of URLs)
+    ap.add_argument("--budget-scale", type=float, default=50.0)
     args = ap.parse_args()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     modes = ["sched", "decode"] if args.mode == "both" else [args.mode]
     for mode in modes:
-        lo = run_level(args.low, mode, args.n_images)
-        hi = run_level(args.high, mode, args.n_images)
+        lo = run_level(args.low, mode, args.n_images, args.budget_scale)
+        hi = run_level(args.high, mode, args.n_images, args.budget_scale)
         assert lo["fetched"] == hi["fetched"], (
             f"determinism violation: {lo['fetched']} != {hi['fetched']}"
         )

@@ -111,16 +111,44 @@ def bootstrap(spark: SparkSession, p: CrawlParams) -> None:
     ed = _epoch_dir(p.job_dir, 0)
     if os.path.isdir(ed):
         shutil.rmtree(ed)
-    fr.write.parquet(os.path.join(ed, "frontier"))
+    _null_audit(fr).write.parquet(os.path.join(ed, "frontier"))
     pending = spark.read.parquet(os.path.join(ed, "frontier")).count()
     with open(_commit_path(p.job_dir, 0), "w") as f:
-        json.dump({"epoch": 0, "seq_base": 0, "pending": pending}, f)
+        json.dump(
+            {"epoch": 0, "seq_base": 0, "pending": pending, "n_frontier": pending}, f
+        )
 
 
-def run_epoch(spark: SparkSession, p: CrawlParams, epoch: int, seq_base: int) -> dict:
-    """One frontier epoch; returns the commit record."""
+# extra audit columns carried on the snapshot rows touched this epoch —
+# the crawl log is a projection of the snapshot, not a second table
+# (one write per epoch, exactly like a single Iceberg MERGE commit)
+_AUDIT_COLS = ["seq", "status_code", "image_id"]
+SNAPSHOT_COLS = FRONTIER_COLS + _AUDIT_COLS
+
+
+def _null_audit(df):
+    return (
+        df.withColumn("seq", F.lit(None).cast("long"))
+        .withColumn("status_code", F.lit(None).cast("int"))
+        .withColumn("image_id", F.lit(None).cast("string"))
+    )
+
+
+def run_epoch(
+    spark: SparkSession,
+    p: CrawlParams,
+    epoch: int,
+    seq_base: int,
+    expected_frontier: int | None = None,
+) -> dict:
+    """One frontier epoch; returns the commit record.
+
+    Exactly TWO actions run per epoch: the snapshot write and one metrics
+    aggregation over the written snapshot (plus the sharded Bloom build
+    when enabled). At 10^10 scale the write becomes the Iceberg MERGE and
+    the metrics agg an incremental scan of the changed buckets."""
     prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
-    fr = spark.read.parquet(prev)
+    fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
     images = spark.read.parquet(p.images_path)
     domains = spark.read.parquet(p.domains_path)
     robots = spark.read.parquet(p.robots_path)
@@ -135,25 +163,15 @@ def run_epoch(spark: SparkSession, p: CrawlParams, epoch: int, seq_base: int) ->
     if os.path.isdir(ed):
         shutil.rmtree(ed)  # uncommitted partial epoch → overwrite
 
-    # ---- crawl log (the order contract) -------------------------------
-    fetched.select(
-        F.lit(epoch).alias("epoch"),
-        "seq",
-        "url_fp",
-        "domain",
-        "queue_kind",
-        "status_code",
-        "image_id",
-    ).write.parquet(os.path.join(ed, "crawl_log"))
-    crawl_log = spark.read.parquet(os.path.join(ed, "crawl_log"))
-
     # ---- frontier transition ------------------------------------------
     children = fetchsim.discover_children(fetched, p.n_images)
     frontier_fps = fr.select("url_fp")
     if p.use_bloom:
         from ..operators import seen as seen_ops
 
-        bloom = seen_ops.build_bloom(frontier_fps, n_shards=p.bloom_shards)
+        bloom = seen_ops.build_bloom(
+            frontier_fps, n_shards=p.bloom_shards, expected=expected_frontier
+        )
         # first-wins dedup within the epoch must still run (it's not a
         # seen-set concern); enqueue_children handles it, so hand it the
         # bloom-thinned candidate set with an already-resolved seen check.
@@ -165,54 +183,71 @@ def run_epoch(spark: SparkSession, p: CrawlParams, epoch: int, seq_base: int) ->
         new_rows = fr_ops.enqueue_children(children, frontier_fps, epoch).select(
             *FRONTIER_COLS
         )
-    updated = (
-        fr_ops.apply_fetch_outcome(fetched, epoch).select(*FRONTIER_COLS)
+    updated = fr_ops.apply_fetch_outcome(fetched, epoch).select(
+        *FRONTIER_COLS, "seq", "status_code", "image_id"
     )
-    blocked_rows = blocked.withColumn("status", F.lit("robots_blocked")).withColumn(
-        "epoch", F.lit(epoch)
-    ).select(*FRONTIER_COLS)
+    blocked_rows = (
+        blocked.withColumn("status", F.lit("robots_blocked"))
+        .withColumn("epoch", F.lit(epoch))
+        .select(*FRONTIER_COLS)
+    )
     touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
     untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
-    next_fr = untouched.unionByName(updated).unionByName(blocked_rows).unionByName(
-        new_rows
+    next_fr = (
+        _null_audit(untouched)
+        .unionByName(updated)
+        .unionByName(_null_audit(blocked_rows))
+        .unionByName(_null_audit(new_rows))
+        .select(*SNAPSHOT_COLS)
     )
     next_fr.write.parquet(os.path.join(ed, "frontier"))
     fetched.unpersist()
 
-    # ---- metrics (A3/A4 counter tree) — one aggregation job per table --
+    # ---- metrics (A3/A4 counter tree) — ONE aggregation over the snapshot
     fr2 = spark.read.parquet(os.path.join(ed, "frontier"))
-    by_status = crawl_log.groupBy("status_code").count().collect()
-    n_popped = sum(r["count"] for r in by_status)
+    this_epoch = (F.col("epoch") == epoch)
+    fetched_now = this_epoch & F.col("seq").isNotNull()
     agg = fr2.agg(
+        F.sum(fetched_now.cast("long")).alias("n_popped"),
         F.sum(
-            (
-                (F.col("epoch") == epoch)
-                & (F.col("status") == "pending")
-                & (F.col("retry_times") == 0)
-            ).cast("long")
+            (this_epoch & (F.col("status") == "pending") & (F.col("retry_times") == 0))
+            .cast("long")
         ).alias("n_new"),
         F.sum(
-            (
-                (F.col("status") == "robots_blocked") & (F.col("epoch") == epoch)
-            ).cast("long")
+            (this_epoch & (F.col("status") == "robots_blocked")).cast("long")
         ).alias("n_blocked"),
         F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
+        F.count("*").alias("n_frontier"),
+        *[
+            F.sum((fetched_now & (F.col("status_code") == sc)).cast("long")).alias(
+                f"sc_{sc}"
+            )
+            for sc in (200, 404, 429, 503, 520)
+        ],
     ).collect()[0]
-    n_new = int(agg["n_new"] or 0)
-    n_blocked = int(agg["n_blocked"] or 0)
+    n_popped = int(agg["n_popped"] or 0)
     n_pending = int(agg["n_pending"] or 0)
     metrics = [
         (epoch, "pop/total", n_popped),
-        (epoch, "push/new_urls", n_new),
-        (epoch, "robots/blocked", n_blocked),
+        (epoch, "push/new_urls", int(agg["n_new"] or 0)),
+        (epoch, "robots/blocked", int(agg["n_blocked"] or 0)),
         (epoch, "frontier/pending_after", n_pending),
-    ] + [(epoch, f"fetch/status/{r['status_code']}", r["count"]) for r in by_status]
+    ] + [
+        (epoch, f"fetch/status/{sc}", int(agg[f"sc_{sc}"] or 0))
+        for sc in (200, 404, 429, 503, 520)
+        if int(agg[f"sc_{sc}"] or 0) > 0
+    ]
     spark.createDataFrame(metrics, "epoch int, metric_key string, n long").coalesce(
         1
     ).write.parquet(os.path.join(ed, "metrics"))
 
-    rec = {"epoch": epoch, "seq_base": seq_base + n_popped, "pending": n_pending,
-           "popped": n_popped}
+    rec = {
+        "epoch": epoch,
+        "seq_base": seq_base + n_popped,
+        "pending": n_pending,
+        "popped": n_popped,
+        "n_frontier": int(agg["n_frontier"]),
+    }
     with open(_commit_path(p.job_dir, epoch), "w") as f:
         json.dump(rec, f)
     return rec
@@ -233,7 +268,9 @@ def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
     epoch = last
     while state["pending"] > 0 and epoch < p.max_epochs:
         epoch += 1
-        state = run_epoch(spark, p, epoch, state["seq_base"])
+        state = run_epoch(
+            spark, p, epoch, state["seq_base"], state.get("n_frontier")
+        )
     return {
         "epochs": epoch,
         "total_fetched": state["seq_base"],
@@ -243,15 +280,22 @@ def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
 
 
 def read_crawl_log(spark: SparkSession, job_dir: str) -> DataFrame:
-    """Union of all committed epochs' crawl logs."""
+    """The crawl-order contract: per epoch, the snapshot rows that were
+    fetched that epoch (seq non-null ∧ epoch == e) — the log is a
+    projection of the snapshots, not a second table."""
     last = last_committed_epoch(job_dir)
-    dirs = [
-        os.path.join(_epoch_dir(job_dir, e), "crawl_log")
-        for e in range(1, (last or 0) + 1)
-        if os.path.exists(_commit_path(job_dir, e))
-        and os.path.isdir(os.path.join(_epoch_dir(job_dir, e), "crawl_log"))
-    ]
-    return spark.read.parquet(*dirs)
+    out = None
+    for e in range(1, (last or 0) + 1):
+        if not os.path.exists(_commit_path(job_dir, e)):
+            continue
+        snap = spark.read.parquet(os.path.join(_epoch_dir(job_dir, e), "frontier"))
+        log = snap.filter(
+            (F.col("epoch") == e) & F.col("seq").isNotNull()
+        ).select(
+            "epoch", "seq", "url_fp", "domain", "queue_kind", "status_code", "image_id"
+        )
+        out = log if out is None else out.unionByName(log)
+    return out
 
 
 def read_final_frontier(spark: SparkSession, job_dir: str) -> DataFrame:
