@@ -30,6 +30,36 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 UNIVERSE = "/tmp/sct_bench_universe"
 
+_GEN = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from scrapy_cluster_test_spark.session import get_spark
+from scrapy_cluster_test_spark import datagen
+spark = get_spark("sct-bench-gen", cores={cores})
+datagen.generate_all(spark, {universe!r}, n_images={n_images}, n_seeds=500,
+                     budget_scale={budget_scale}, lite={lite})
+print("GEN done")
+spark.stop()
+"""
+
+
+def pregen(n_images: int, budget_scale: float, lite: bool, cores: int = 32) -> None:
+    if os.path.exists(os.path.join(UNIVERSE, "robots.parquet")):
+        return
+    code = _GEN.format(
+        repo=REPO,
+        cores=cores,
+        universe=UNIVERSE,
+        n_images=n_images,
+        budget_scale=budget_scale,
+        lite=lite,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    if "GEN done" not in out.stdout:
+        raise RuntimeError(f"datagen failed:\n{out.stdout[-1500:]}\n{out.stderr[-2000:]}")
+
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -44,9 +74,80 @@ universe = {universe!r}
 budget_scale = {budget_scale}
 
 spark = get_spark(f"sct-bench-{{cores}}", cores=cores)
-if not os.path.exists(os.path.join(universe, "robots.parquet")):
-    datagen.generate_all(spark, universe, n_images=n_images, n_seeds=500,
-                         budget_scale=budget_scale)
+assert os.path.exists(os.path.join(universe, "robots.parquet")), "universe not pre-generated"
+
+if mode == "kernel":
+    # Pure epoch-dataflow kernel: pop -> fetch-status -> children -> dedup
+    # over a memory-cached pending frontier, noop sink (no snapshot IO).
+    # Isolates the engine's dataflow from the sandbox's serialized disk
+    # syscalls; this is the per-epoch work that dominates at 10^10 scale.
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+    from scrapy_cluster_test_spark.operators import frontier as fr_ops
+    from scrapy_cluster_test_spark.sources import fetchsim
+    from scrapy_cluster_test_spark.functions import urlkit
+    from scrapy_cluster_test_spark import crawlspec as cspec
+
+    import pandas as pd
+
+    images = spark.read.parquet(f"{{universe}}/images.parquet")
+    domains = spark.read.parquet(f"{{universe}}/domains.parquet")
+    ids = images.select(F.substring("image_id", 4, 10).cast("long").alias("j"))
+    both = ids.withColumn("queue_kind", F.explode(F.array(F.lit("seller"), F.lit("asin"))))
+
+    # build URLs in a vectorized pandas stage (same codepath as fetchsim children)
+    def build(it):
+        import numpy as np
+        from scrapy_cluster_test_spark import crawlspec as cs
+        for pdf in it:
+            j = pdf["j"].to_numpy("int64")
+            d = cs.domain_id_np(j)
+            urls = ("https://d" + pd.Series(d).astype(str).str.zfill(4)
+                    + ".example.com/" + pdf["queue_kind"].reset_index(drop=True)
+                    + "/" + pd.Series(j).astype(str).str.zfill(10))
+            yield pd.DataFrame({{"url": urls, "queue_kind": pdf["queue_kind"].to_numpy(),
+                                 "crawl_time": j}})
+    raw = both.mapInPandas(build, "url string, queue_kind string, crawl_time long")
+    canon = urlkit.canonicalize(F.col("url"))
+    fp = urlkit.url_fingerprint(canon)
+    dom = urlkit.domain_of(canon)
+    frontier = raw.select(
+        canon.alias("url"), fp.alias("url_fp"), dom.alias("domain"),
+        urlkit.domain_hash(dom).alias("domain_hash"), "queue_kind",
+        F.lit(0).alias("priority"), "crawl_time", F.lit(0).alias("retry_times"),
+        F.lit("crawlera").alias("provider"), F.lit("pending").alias("status"),
+        F.pmod(fp, F.lit(cspec.N_PATH_BUCKETS)).cast("int").alias("path_bucket"),
+        F.lit(None).cast("long").alias("parent_fp"), F.lit(0).alias("epoch"),
+    ).persist(StorageLevel.MEMORY_ONLY)
+    n_frontier = frontier.count()
+    robots = spark.read.parquet(f"{{universe}}/robots.parquet")
+
+    def epoch_dag(it_):
+        allowed, blocked = fr_ops.robots_split(frontier, robots)
+        popped = fr_ops.pop_batch(allowed, domains, None, None, 0)
+        payload = fetchsim.join_payload(popped, images)
+        fetched = fetchsim.fetch_statuses(payload)
+        children = fetchsim.discover_children(fetched, n_images)
+        new_rows = fr_ops.enqueue_children(children, frontier.select("url_fp"), it_)
+        out = fr_ops.apply_fetch_outcome(fetched, it_).select(
+            "url_fp", "status"
+        ).unionByName(new_rows.select("url_fp", "status"))
+        return popped, out
+
+    n_popped = epoch_dag(0)[0].count()  # fixed per iteration (same input)
+    iters = 3
+    t0 = time.perf_counter()
+    for it_ in range(iters):
+        epoch_dag(it_)[1].write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    tot = n_popped * iters
+    print("RESULT " + json.dumps({{
+        "cores": cores, "mode": mode, "epochs": iters, "fetched": tot,
+        "wall_sec": round(wall, 2), "urls_per_sec": round(tot / wall, 1),
+        "frontier_rows": n_frontier}}))
+    spark.stop()
+    raise SystemExit(0)
+
 
 job = f"/tmp/sct_bench_job_c{{cores}}_{{mode}}"
 p = ep.CrawlParams(
@@ -69,8 +170,11 @@ if mode == "decode":
     t1 = time.perf_counter()
     fetched_imgs = images.join(log, "image_id", "left_semi")
     res = multimodal.verify_payloads(fetched_imgs)
-    bad = res.filter((F.col("psnr_db") < 40.0) | ~F.col("caption_ok")).count()
-    n_dec = res.count()
+    row = res.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("psnr_db") < 40.0) | ~F.col("caption_ok")).cast("long")).alias("bad"),
+    ).collect()[0]
+    n_dec, bad = int(row["n"]), int(row["bad"] or 0)
     dwall = time.perf_counter() - t1
     wall += dwall
     extra = {{"decoded": n_dec, "decode_sec": round(dwall, 2), "bad": bad}}
@@ -110,16 +214,25 @@ def run_level(cores: int, mode: str, n_images: int, budget_scale: float) -> dict
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-images", type=int, default=150000)
-    ap.add_argument("--mode", choices=["sched", "decode", "both"], default="both")
+    ap.add_argument(
+        "--mode", choices=["sched", "decode", "kernel", "both"], default="both"
+    )
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     # politeness budgets scaled up for the bench so epochs are few and fat
     # (per-epoch fixed latency amortizes over real work, as it would at
     # 10^10 where an epoch pops millions of URLs)
     ap.add_argument("--budget-scale", type=float, default=50.0)
+    ap.add_argument(
+        "--lite",
+        action="store_true",
+        help="payload-light universe (sched/kernel modes only — no real image bytes)",
+    )
+    ap.add_argument("--tag", default="", help="suffix for the output json filename")
     args = ap.parse_args()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    pregen(args.n_images, args.budget_scale, args.lite)
     modes = ["sched", "decode"] if args.mode == "both" else [args.mode]
     for mode in modes:
         lo = run_level(args.low, mode, args.n_images, args.budget_scale)
@@ -136,7 +249,8 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             "fetched_equal": True,
         }
-        path = os.path.join(REPO, "BENCH", f"scaling_{mode}.json")
+        suffix = f"_{args.tag}" if args.tag else ""
+        path = os.path.join(REPO, "BENCH", f"scaling_{mode}{suffix}.json")
         with open(path, "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result))

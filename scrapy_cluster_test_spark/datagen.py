@@ -62,12 +62,36 @@ def _gen_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-def generate_images(spark: SparkSession, n: int, parallelism: int | None = None) -> DataFrame:
+def _gen_images_lite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Payload-light variant for scheduler benchmarks: real schema, stub
+    bytes, phash drawn from splitmix64 instead of pixels. Same crawl
+    semantics (status codes / fan-out are functions of phash); decoded-
+    payload invariants obviously don't apply — bench only, never tests."""
+    for pdf in batches:
+        i = pdf["id"].to_numpy(np.int64)
+        ph = spec.mix64_np(i.astype(np.uint64) ^ np.uint64(0xBE9C4)).astype(np.int64)
+        ids = "img" + pd.Series(i).astype(str).str.zfill(10)
+        yield pd.DataFrame(
+            {
+                "image_id": ids,
+                "bytes": [b"\x00stub"] * len(i),
+                "w": np.full(len(i), 32, np.int32),
+                "h": np.full(len(i), 32, np.int32),
+                "fmt": ["png"] * len(i),
+                "caption": "caption " + pd.Series(i).astype(str) + ":",
+                "phash": ph,
+            }
+        )
+
+
+def generate_images(
+    spark: SparkSession, n: int, parallelism: int | None = None, lite: bool = False
+) -> DataFrame:
     parallelism = parallelism or spark.sparkContext.defaultParallelism
-    return (
-        spark.range(0, n, numPartitions=min(parallelism * 2, max(1, n // 50) or 1))
-        .mapInPandas(_gen_images, schema=IMAGES)
-    )
+    gen = _gen_images_lite if lite else _gen_images
+    return spark.range(
+        0, n, numPartitions=min(parallelism * 2, max(1, n // 50) or 1)
+    ).mapInPandas(gen, schema=IMAGES)
 
 
 def seed_rows(n_images: int, n_seeds: int) -> list[tuple[str, str, int]]:
@@ -118,9 +142,10 @@ def generate_all(
     n_images: int,
     n_seeds: int = 20,
     budget_scale: float = 1.0,
+    lite: bool = False,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    generate_images(spark, n_images).write.mode("overwrite").parquet(
+    generate_images(spark, n_images, lite=lite).write.mode("overwrite").parquet(
         os.path.join(out_dir, "images.parquet")
     )
     spark.createDataFrame(seed_rows(n_images, n_seeds), SEEDS).coalesce(1).write.mode(

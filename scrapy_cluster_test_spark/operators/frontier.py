@@ -56,8 +56,8 @@ def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
 def pop_batch(
     allowed_pending: DataFrame,
     domains: DataFrame,
-    seller_cap: int,
-    asin_cap: int,
+    seller_cap: int | None,
+    asin_cap: int | None,
     seq_base: int,
 ) -> DataFrame:
     """Politeness-budgeted, deterministic frontier pop.
@@ -79,11 +79,22 @@ def pop_batch(
         .filter(F.col("dom_rk") <= F.coalesce(F.col("budget_per_epoch"), F.lit(1)))
     )
 
-    w_kind = W.partitionBy("queue_kind").orderBy("priority", "crawl_time", "url_fp")
-    kind_cap = F.when(F.col("queue_kind") == "seller", seller_cap).otherwise(asin_cap)
-    cand = cand.withColumn("kind_rk", F.row_number().over(w_kind)).filter(
-        F.col("kind_rk") <= kind_cap
-    )
+    if seller_cap is not None or asin_cap is not None:
+        # None = uncapped: the rank window would be an identity filter, so
+        # skip its shuffle entirely (bench / unbounded-epoch configs)
+        w_kind = W.partitionBy("queue_kind").orderBy(
+            "priority", "crawl_time", "url_fp"
+        )
+        big = 1 << 40
+        kind_cap = F.when(
+            F.col("queue_kind") == "seller",
+            seller_cap if seller_cap is not None else big,
+        ).otherwise(asin_cap if asin_cap is not None else big)
+        cand = cand.withColumn("kind_rk", F.row_number().over(w_kind)).filter(
+            F.col("kind_rk") <= kind_cap
+        )
+    else:
+        cand = cand.withColumn("kind_rk", F.lit(0))
 
     # seq over the popped batch only (small), not the frontier table
     w_seq = W.orderBy(*POP_ORDER)
