@@ -19,7 +19,9 @@ from dataclasses import dataclass, field
 import pyarrow.parquet as pq
 
 from .. import crawlspec as spec
-from ..functions.urlkit import py_canonicalize, py_url_fingerprint
+from ..functions.urlkit import py_canonicalize, py_domain_hash, py_url_fingerprint
+
+N_LINEAGE_BUCKETS = 16  # must match plans/epoch.py
 
 
 @dataclass
@@ -138,6 +140,7 @@ def simulate(
 
         # fetch + log + state transition (Q6) + child discovery
         status_counts: dict[int, int] = {}
+        lineage_counts: dict[int, int] = {}
         candidates: list[tuple[int, int, str, str, int]] = []  # (parent_seq, k, url, kind, parent_fp)
         for i, r in enumerate(popped):
             seq = seq_base + i + 1
@@ -145,6 +148,8 @@ def simulate(
             ph = phash_by_idx[j]
             sc = spec.status_code(ph)
             status_counts[sc] = status_counts.get(sc, 0) + 1
+            b = py_domain_hash(r.domain) % N_LINEAGE_BUCKETS
+            lineage_counts[b] = lineage_counts.get(b, 0) + 1
             res.crawl_log.append(
                 (epoch, seq, r.url_fp, r.domain, r.queue_kind, sc, f"img{j:010d}")
             )
@@ -187,6 +192,8 @@ def simulate(
         res.metrics.append((epoch, "frontier/pending_after", n_pending))
         for sc, n in sorted(status_counts.items()):
             res.metrics.append((epoch, f"fetch/status/{sc}", n))
+        for b, n in sorted(lineage_counts.items()):
+            res.metrics.append((epoch, f"lineage/bucket/{b}", n))
         seq_base += len(popped)
 
     res.epochs = epoch

@@ -325,3 +325,124 @@ def url_kernel_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"/asin/([0-9]+)", 1).alias("asin"),
         F.regexp_extract("url", r"[?&]z=([^&#]+)", 1).alias("z_param"),
     )
+
+
+@query(
+    "extract_offer_rows",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token
+            FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+            WHERE ws[i] <> '')
+    SELECT doc_id, CAST(pos AS INT) AS pos, token,
+           CAST(try_cast(regexp_replace(token, '[^0-9]', '', 'g') AS INTEGER) AS INTEGER) AS token_id,
+           coalesce(try_cast(regexp_replace(token, '[^0-9]', '', 'g') AS INTEGER) % 7 = 0, FALSE) AS is_prime
+    FROM tok
+    """,
+)
+def extract_offer_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF pattern (SURVEY §2.10 X1-X3): vectorized pandas UDF returns
+    ArrayType(StructType), native explode fans out one row per extracted
+    entity — the graft form of get_offers (parser.py:521-528)."""
+    from ..operators.extract import extract_offer_rows
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("caption")
+    )
+    return extract_offer_rows(d, id_col="doc_id")
+
+
+@query(
+    "extract_page_rollup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, ws[i] AS token,
+                   coalesce(try_cast(regexp_replace(ws[i], '[^0-9]', '', 'g') AS INTEGER) % 7 = 0, FALSE) AS is_prime
+            FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+            WHERE ws[i] <> '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS num_offers,
+           CAST(count(DISTINCT token) AS BIGINT) AS num_unique_tokens,
+           count(DISTINCT CASE WHEN NOT is_prime THEN token END) <= 1 AS private_label
+    FROM tok GROUP BY doc_id
+    """,
+)
+def extract_page_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page rollup + private-label rule (SURVEY A5/F14: ≤1 distinct
+    non-Amazon seller ⇒ private label, spiders/amazon_merchant.py:169-174)."""
+    from ..operators.extract import extract_offer_rows, per_page_rollup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("caption")
+    )
+    return per_page_rollup(extract_offer_rows(d, id_col="doc_id"), id_col="doc_id")
+
+
+@query(
+    "whitespace_clean",
+    """
+    WITH messy AS (
+      SELECT doc_id,
+             replace(substr(text, 1, 60), ' ', '  ') || chr(160) || 'tail' AS raw
+      FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(replace(raw, chr(160), ' '), '\\s+', ' ', 'g')) AS cleaned
+    FROM messy
+    """,
+)
+def whitespace_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalization incl. NBSP (core/.../scrapy/utils.py:31-39
+    → SURVEY F7), exercised on deterministically-messied text."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.regexp_replace(F.substring("text", 1, 60), " ", "  "),
+        F.lit(" "),
+        F.lit("tail"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(raw, " ", " "), r"\s+", " ")
+    )
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
+@query(
+    "date_format_utc",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_iso
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def date_format_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic date formatting (formatted_date/isoformat, utils.py:154-155,
+    formatter.py:4-5 → SURVEY F16) — session TZ pinned UTC so both engines
+    render the same instant."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("order_iso"),
+    )
+
+
+@query(
+    "isbn_flag",
+    """
+    SELECT p_partkey,
+           upper(substr(md5(CAST(p_partkey AS VARCHAR)), 1, 10)) AS asin_like,
+           substr(upper(substr(md5(CAST(p_partkey AS VARCHAR)), 1, 10)), 1, 1)
+             SIMILAR TO '[0-9]' AS is_isbn
+    FROM part
+    """,
+)
+def isbn_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_isbn = first character numeric (spiders/amazon_merchant.py:486-491
+    → SURVEY F13) over synthesized ASIN-like ids."""
+    p = _t(spark, sf_dir, "part")
+    asin = F.upper(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 10))
+    return p.select(
+        "p_partkey",
+        asin.alias("asin_like"),
+        F.substring(asin, 1, 1).rlike("[0-9]").alias("is_isbn"),
+    )

@@ -40,6 +40,10 @@ from ..sources import fetchsim
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
+# per-partition lineage granularity: fetch counts per pmod(domain_hash, B)
+# bucket per epoch — mirrors an Iceberg table bucketed by domain_hash
+N_LINEAGE_BUCKETS = 16
+
 
 @dataclass
 class CrawlParams:
@@ -204,9 +208,18 @@ def run_epoch(
     fetched.unpersist()
 
     # ---- metrics (A3/A4 counter tree) — ONE aggregation over the snapshot
+    # plus per-partition lineage rows: fetch counts per domain-hash bucket
+    # (north rule: "every frontier epoch checkpoints per-partition lineage
+    # and fetch metrics"), enabling partial-progress audit per bucket.
     fr2 = spark.read.parquet(os.path.join(ed, "frontier"))
     this_epoch = (F.col("epoch") == epoch)
     fetched_now = this_epoch & F.col("seq").isNotNull()
+    lineage = (
+        fr2.filter(this_epoch & F.col("seq").isNotNull())
+        .groupBy(F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
     agg = fr2.agg(
         F.sum(fetched_now.cast("long")).alias("n_popped"),
         F.sum(
@@ -236,6 +249,9 @@ def run_epoch(
         (epoch, f"fetch/status/{sc}", int(agg[f"sc_{sc}"] or 0))
         for sc in (200, 404, 429, 503, 520)
         if int(agg[f"sc_{sc}"] or 0) > 0
+    ] + [
+        (epoch, f"lineage/bucket/{int(r['b'])}", int(r["n"]))
+        for r in sorted(lineage, key=lambda r: int(r["b"]))
     ]
     spark.createDataFrame(metrics, "epoch int, metric_key string, n long").coalesce(
         1
