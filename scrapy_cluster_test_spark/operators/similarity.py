@@ -81,19 +81,29 @@ def brute_force_topk(
 # -- deterministic random hyperplanes for LSH (seeded numpy, fixed dim) ----
 
 
-def _planes(dim: int, n_planes: int) -> np.ndarray:
-    rng = np.random.Generator(np.random.Philox(key=[spec.SEED, 0x51AE]))
+def _planes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=[spec.SEED, 0x51AE + table]))
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 8):
-    planes = _planes(dim, n_planes)
+def lsh_bucket_udf(dim: int, n_planes: int = 8, n_tables: int = 1):
+    """→ array<int> of bucket ids, one per hash table (independent plane
+    sets). Multi-table LSH is the standard recall lever: a true neighbor
+    is missed only if it hashes away in EVERY table."""
+    planes = np.stack([_planes(dim, n_planes, t) for t in range(n_tables)])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("array<int>")
     def bucket(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())
-        signs = (m @ planes.T) > 0
-        return pd.Series((signs @ (1 << np.arange(n_planes))).astype(np.int32))
+        m = np.stack(emb.to_numpy())  # (B, dim)
+        out = []
+        codes = np.empty((len(m), len(planes)), np.int64)
+        for t in range(len(planes)):
+            signs = (m @ planes[t].T) > 0
+            codes[:, t] = (signs @ weights) + (t << n_planes)  # disjoint per table
+        for row in codes:
+            out.append(row.astype(np.int32).tolist())
+        return pd.Series(out)
 
     return bucket
 
@@ -104,28 +114,33 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    random-hyperplane bucket. ~2^n_planes× less work; recall is measured,
-    not assumed (tests/test_similarity.py)."""
-    bucket = lsh_bucket_udf(dim, n_planes)
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb_v")
-    ).withColumn("bucket", bucket(F.col("emb_v")))
+    """Approximate top-k: candidates restricted to vectors sharing a
+    random-hyperplane bucket with the query in ANY of ``n_tables`` tables.
+    ~2^n_planes/n_tables× less work than brute force; recall is measured,
+    not assumed (tests/test_similarity.py). At 100 TB the vectors table is
+    written bucketed by the table-0 key so probes are partition-pruned."""
+    bucket = lsh_bucket_udf(dim, n_planes, n_tables)
+    v = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb_v"))
+        .withColumn("bucket", F.explode(bucket(F.col("emb_v"))))
+    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb_q")
-        ).withColumn("bucket", bucket(F.col("emb_q")))
+        ).withColumn("bucket", F.explode(bucket(F.col("emb_q"))))
     )
-    scored = (
+    cand = (
         q.join(v, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            dot_cols("emb_q", "emb_v") / (norm_col("emb_q") * norm_col("emb_v")),
-        )
+        .select("query_id", "emb_q", "neighbor_id", "emb_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", dot_cols("emb_q", "emb_v") / (norm_col("emb_q") * norm_col("emb_v"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
