@@ -36,18 +36,34 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_suite_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cores": cores,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_suite_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+    }
+    # attach the latest crawl-engine scaling evidence (bench_scaling.py)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    crawl = {}
+    if os.path.isdir(bench_dir):
+        for name in sorted(os.listdir(bench_dir)):
+            if name.startswith("scaling_") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(bench_dir, name)) as f:
+                        r = json.load(f)
+                    crawl[name[len("scaling_"):-len(".json")]] = {
+                        "low_urls_per_sec": r["low"]["urls_per_sec"],
+                        "high_urls_per_sec": r["high"]["urls_per_sec"],
+                        "cores": [r["low"]["cores"], r["high"]["cores"]],
+                        "efficiency": r["scaling_efficiency"],
+                    }
+                except Exception:
+                    pass
+    if crawl:
+        out["crawl_scaling"] = crawl
+    print(json.dumps(out))
     spark.stop()
 
 

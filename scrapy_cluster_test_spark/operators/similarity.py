@@ -58,17 +58,27 @@ def brute_force_topk(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k: broadcast queries × all vectors → cosine → window.
-    Output: (query_id, neighbor_id, rnk) — rank ties broken by neighbor id."""
+    Output: (query_id, neighbor_id, rnk) — rank ties broken by neighbor id.
+    Norms are computed once per VECTOR before the join (identical
+    element-order arithmetic, 3× fewer folds than per-pair norms)."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb_q")
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("emb_q"),
+            norm_col(F.col(emb_col)).alias("norm_q"),
         )
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb_v"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("emb_v"),
+        norm_col(F.col(emb_col)).alias("norm_v"),
+    )
     scored = (
         q.crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot_cols("emb_q", "emb_v") / (norm_col("emb_q") * norm_col("emb_v")))
+        .withColumn(
+            "cosine", dot_cols("emb_q", "emb_v") / (F.col("norm_q") * F.col("norm_v"))
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -446,3 +446,63 @@ def isbn_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         asin.alias("asin_like"),
         F.substring(asin, 1, 1).rlike("[0-9]").alias("is_isbn"),
     )
+
+
+@query(
+    "frontier_pop_budgeted",
+    """
+    WITH frontier AS (
+      SELECT event_id AS url_fp,
+             user_id % 50 AS domain_id,
+             CASE WHEN event_id % 11 = 0 THEN 'seller' ELSE 'asin' END AS queue_kind,
+             CASE WHEN event_id % 13 = 0 THEN -1 ELSE 0 END AS priority,
+             event_id // 7 AS crawl_time
+      FROM events),
+    budgets AS (
+      SELECT domain_id,
+             CASE WHEN domain_id % 5 = 0 THEN 4 ELSE 2 END AS budget
+      FROM (SELECT DISTINCT domain_id FROM frontier)),
+    dom_ranked AS (
+      SELECT f.*, b.budget,
+             row_number() OVER (
+               PARTITION BY f.domain_id
+               ORDER BY CASE WHEN f.queue_kind = 'seller' THEN 0 ELSE 1 END,
+                        f.priority, f.crawl_time, f.url_fp) AS dom_rk
+      FROM frontier f JOIN budgets b USING (domain_id)),
+    surv AS (SELECT * FROM dom_ranked WHERE dom_rk <= budget),
+    kind_ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY queue_kind
+               ORDER BY priority, crawl_time, url_fp) AS kind_rk
+      FROM surv)
+    SELECT domain_id, url_fp, queue_kind, priority, crawl_time,
+           CAST(row_number() OVER (
+             ORDER BY CASE WHEN queue_kind = 'seller' THEN 0 ELSE 1 END,
+                      priority, crawl_time, url_fp) AS BIGINT) AS seq
+    FROM kind_ranked
+    WHERE kind_rk <= CASE WHEN queue_kind = 'seller' THEN 40 ELSE 25 END
+    """,
+)
+def frontier_pop_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pop pipeline oracle-checked end-to-end: per-domain
+    politeness budgets (hot domains get more), per-kind FIFO caps,
+    sellers-before-asins, retry-priority precedence, global seq — the
+    exact operator stack of operators/frontier.pop_batch (SURVEY Q1-Q7)."""
+    from ..operators import frontier as fr_ops
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.col("event_id").alias("url_fp"),
+        (F.col("user_id") % 50).alias("domain_id"),
+        F.when(F.col("event_id") % 11 == 0, "seller").otherwise("asin").alias("queue_kind"),
+        F.when(F.col("event_id") % 13 == 0, -1).otherwise(0).alias("priority"),
+        (F.col("event_id") / F.lit(7)).cast("long").alias("crawl_time"),
+    ).withColumn("domain", F.col("domain_id"))  # pop_batch keys on `domain`
+    budgets = frontier.select("domain_id").distinct().select(
+        F.col("domain_id").alias("domain"),
+        F.when(F.col("domain_id") % 5 == 0, 4).otherwise(2).alias("budget_per_epoch"),
+    )
+    popped = fr_ops.pop_batch(frontier, budgets, seller_cap=40, asin_cap=25, seq_base=0)
+    return popped.select(
+        "domain_id", "url_fp", "queue_kind", "priority", "crawl_time", "seq"
+    )

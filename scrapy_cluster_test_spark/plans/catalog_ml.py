@@ -153,14 +153,21 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus). Cosine folds element-in-order as doubles on both
     engines → bit-identical, so the threshold cut is exact."""
     e = _embs(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        similarity.with_cosine(pairs)
-        .filter(F.col("cosine") >= 0.38)
-        .select("vec_a", "vec_b")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        similarity.norm_col(F.col("embedding")).alias("norm_a"),
     )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        similarity.norm_col(F.col("embedding")).alias("norm_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cosine = similarity.dot_cols("emb_a", "emb_b") / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return pairs.filter(cosine >= 0.38).select("vec_a", "vec_b")
 
 
 @query(
