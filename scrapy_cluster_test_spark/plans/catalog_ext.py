@@ -506,3 +506,97 @@ def frontier_pop_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return popped.select(
         "domain_id", "url_fp", "queue_kind", "priority", "crawl_time", "seq"
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    WITH d AS (
+      SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ep,
+             CAST(l.l_discount AS DECIMAL(18,2)) AS disc
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND l.l_shipdate > TIMESTAMP '1997-01-01')
+    SELECT l_orderkey,
+           CAST(sum(ep * (1 - disc)) AS DECIMAL(38,4)) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM d
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped decimal revenue — exercises
+    Catalyst join reordering/broadcast selection over the star schema
+    (the reference has no multi-collection joins at all; its API would
+    need N queries for this)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ep * (1 - disc)).cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    """
+    WITH d AS (
+      SELECT n.n_name AS nation_name,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ep,
+             CAST(l.l_discount AS DECIMAL(18,2)) AS disc
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01')
+    SELECT nation_name,
+           CAST(sum(ep * (1 - disc)) AS DECIMAL(38,4)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM d GROUP BY nation_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a theta condition
+    (supplier nation == customer nation) — the widest join the engine's
+    analytics plane exercises; small dims broadcast, fact joins shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(ep * (1 - disc)).cast("decimal(38,4)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
