@@ -43,6 +43,27 @@ def kind_rank() -> F.Column:
     return F.when(F.col("queue_kind") == "seller", 0).otherwise(1)
 
 
+def salted_repartition(
+    df: DataFrame, num_partitions: int, salt_buckets: int = 16
+) -> DataFrame:
+    """Hot-domain skew defense (SURVEY Q15, north rule): partition the
+    fetch batch by ``(domain_hash, pmod(url_fp, S))`` so one mega-domain
+    (domain 0 holds ~27% of the synthetic universe) spreads across up to
+    ``salt_buckets`` partitions instead of pinning one task. Politeness
+    accounting stays correct because budgets were already applied
+    per-domain BEFORE this shuffle (pop_batch) — the salt only affects
+    physical placement of the fetch work, never the schedule.
+
+    Reference parallel: the multiprocess chunker re-splitting one domain's
+    URLs across processes (core/.../crawl_amazon_product_listing.py:83-104).
+    """
+    return df.repartition(
+        num_partitions,
+        F.col("domain_hash"),
+        F.pmod(F.col("url_fp"), F.lit(salt_buckets)),
+    )
+
+
 def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split pending rows into (allowed, blocked) via a broadcast join on
     (domain, path_bucket). Reference has no robots support (SURVEY Q13);

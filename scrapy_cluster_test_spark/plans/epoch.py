@@ -61,6 +61,11 @@ class CrawlParams:
     # anti-join's probe side — mandatory at 10^10, optional here.
     use_bloom: bool = False
     bloom_shards: int = 16
+    # Salted repartition of the popped batch before fetch (Q15 hot-domain
+    # skew defense). None = let Catalyst place the work (fine when popped
+    # batches are small); set to ~cluster cores at scale.
+    fetch_partitions: int | None = None
+    salt_buckets: int = 16
 
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
@@ -160,6 +165,10 @@ def run_epoch(
     pending = fr.filter(F.col("status") == "pending")
     allowed, blocked = fr_ops.robots_split(pending, robots)
     popped = fr_ops.pop_batch(allowed, domains, p.seller_cap, p.asin_cap, seq_base)
+    if p.fetch_partitions:
+        popped = fr_ops.salted_repartition(
+            popped, p.fetch_partitions, p.salt_buckets
+        )
     payload = fetchsim.join_payload(popped, images)
     fetched = fetchsim.fetch_statuses(payload).persist()
 
