@@ -394,7 +394,7 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            CAST(count(*) AS BIGINT) AS num_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS num_unique_suppliers,
            CAST(max(l_linenumber) AS INT) AS max_line
     FROM lineitem
@@ -408,7 +408,7 @@ def per_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_orderkey").agg(
         F.count("*").alias("num_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_qty"),
         F.countDistinct("l_suppkey").alias("num_unique_suppliers"),
         F.max("l_linenumber").alias("max_line"),
@@ -428,10 +428,10 @@ def per_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     )
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(qty) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(ep) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(ep * (1 - disc)) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(sum(ep * (1 - disc) * (1 + tax)) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(sum(qty) AS DOUBLE) AS sum_qty,
+           CAST(sum(ep) AS DOUBLE) AS sum_base_price,
+           CAST(sum(ep * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(ep * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
            CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(ep) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
@@ -455,10 +455,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("ep") * (1 - F.col("disc"))
     return d.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("qty").cast("decimal(38,2)").alias("sum_qty"),
-        F.sum("ep").cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum(disc_price * (1 + F.col("tax"))).cast("decimal(38,6)").alias("sum_charge"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+        F.sum("ep").cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(disc_price * (1 + F.col("tax"))).cast("double").alias("sum_charge"),
         (F.sum("qty").cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum("ep").cast("double") / F.count("*")).alias("avg_price"),
         (F.sum("disc").cast("double") / F.count("*")).alias("avg_disc"),
@@ -478,9 +478,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_linenumber <= 2
     )
     SELECT l_orderkey, l_linenumber,
-           CAST(ep * (1 - disc) AS DECIMAL(38,4)) AS revenue,
-           CAST(ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2)) AS DECIMAL(38,4)) AS cost,
-           CAST(ep * (1 - disc) - (ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS profit,
+           CAST(ep * (1 - disc) AS DOUBLE) AS revenue,
+           CAST(ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2)) AS DOUBLE) AS cost,
+           CAST(ep * (1 - disc) - (ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2))) AS DOUBLE) AS profit,
            CASE WHEN ep * (1 - disc) = 0 THEN 0.0
                 ELSE 100.0 * CAST(ep * (1 - disc) - (ep * CAST(0.6 AS DECIMAL(3,2)) + qty * CAST(2.0 AS DECIMAL(3,2))) AS DOUBLE)
                      / CAST(ep * (1 - disc) AS DOUBLE) END AS margin,
@@ -508,9 +508,9 @@ def kpi_profit_margin_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        revenue.cast("decimal(38,4)").alias("revenue"),
-        cost.cast("decimal(38,4)").alias("cost"),
-        profit.cast("decimal(38,4)").alias("profit"),
+        revenue.cast("double").alias("revenue"),
+        cost.cast("double").alias("cost"),
+        profit.cast("double").alias("profit"),
         F.when(revenue == 0, F.lit(0.0))
         .otherwise(100.0 * profit.cast("double") / revenue.cast("double"))
         .alias("margin"),

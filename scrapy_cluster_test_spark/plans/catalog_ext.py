@@ -53,14 +53,19 @@ def set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
              [1 + CAST(o_orderkey % 3 AS BIGINT), 2 + CAST(o_orderkey % 5 AS BIGINT)] AS button_pages
       FROM orders WHERE o_totalprice > 60000)
     SELECT o_orderkey,
-           list_sort(list_filter(generate_series(2, max_page),
-                                 p -> NOT list_contains(button_pages, p))) AS fetch_pages
+           coalesce(array_to_string(list_sort(list_filter(generate_series(2, max_page),
+                                                          p -> NOT list_contains(button_pages, p))),
+                                    ','), '') AS fetch_pages
     FROM pages
     """,
 )
 def array_page_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-difference U3: computed page range minus visible buttons
-    (amazon_merchant_autonomous.py:325; array_except over sequence)."""
+    (amazon_merchant_autonomous.py:325; array_except over sequence).
+
+    The result array is emitted comma-joined as a string: the driver's
+    canonicalizer hashes scalar columns only (array cells are unhashable in
+    its pandas sort), so both sides stringify identically."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 60000)
     pages = o.select(
         "o_orderkey",
@@ -74,11 +79,14 @@ def array_page_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pages.select(
         "o_orderkey",
-        F.array_sort(
-            F.array_except(
-                F.sequence(F.lit(2).cast("long"), F.col("max_page")),
-                F.col("button_pages"),
-            )
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.array_except(
+                    F.sequence(F.lit(2).cast("long"), F.col("max_page")),
+                    F.col("button_pages"),
+                )
+            ),
         ).alias("fetch_pages"),
     )
 
@@ -233,7 +241,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r.r_name, 'ALL') AS region_name,
            coalesce(n.n_name, 'ALL') AS nation_name,
            CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers,
-           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -254,7 +262,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("s_suppkey").alias("n_suppliers"),
             F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_acctbal"),
         )
         .select(
@@ -522,7 +530,7 @@ def frontier_pop_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate < TIMESTAMP '1997-01-01'
         AND l.l_shipdate > TIMESTAMP '1997-01-01')
     SELECT l_orderkey,
-           CAST(sum(ep * (1 - disc)) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum(ep * (1 - disc)) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_orderpriority
     FROM d
@@ -543,7 +551,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(ep * (1 - disc)).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(ep * (1 - disc)).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -568,7 +576,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region r ON n.n_regionkey = r.r_regionkey
       WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01')
     SELECT nation_name,
-           CAST(sum(ep * (1 - disc)) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum(ep * (1 - disc)) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM d GROUP BY nation_name
     """,
@@ -596,7 +604,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(ep * (1 - disc)).cast("decimal(38,4)").alias("revenue"),
+            F.sum(ep * (1 - disc)).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -36,6 +36,15 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Exact normalization — deliberately as strict as the driver's hash.
+
+    Floats render at full precision (repr) and Decimals keep their textual
+    scale, so a Spark Decimal('3024.0600') vs a DuckDB float 3024.06 FAILS
+    here just as it fails the driver's hash. Queries must emit bit-stable
+    doubles (exact DECIMAL internals, one final double cast) to pass.
+    """
+    if type(v).__module__ == "numpy":  # unwrap numpy scalars from pandas
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -43,11 +52,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # tolerate last-ulp float drift between engines
-        return f"{v:.6g}"
+        if v == 0.0:  # fold -0.0 / +0.0 (engines disagree on sign of zero)
+            return "0.0"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
-    return str(v)
+    return f"{type(v).__name__}:{v}"
 
 
 def canonical_rows(cols: list[str], rows: list[tuple]) -> list[str]:
@@ -58,11 +68,15 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [d[0] for d in rel.description]
-    d_rows = rel.fetchall()
+    # Mirror the driver's path exactly: Spark → toPandas (DecimalType stays
+    # Decimal objects), DuckDB → .df() pandas (DECIMAL becomes float64).
+    # Comparing those surfaces the same type drift the driver's hash sees.
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
+    d_pdf = con.execute(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
     res = {
         "spark_rows": len(s_rows),
         "duck_rows": len(d_rows),
