@@ -48,6 +48,15 @@ def _alt_index(i: np.ndarray, f: np.ndarray, n_buckets: int) -> np.ndarray:
 class CuckooFilter:
     n_buckets: int
     table: np.ndarray  # (n_buckets, BUCKET_SIZE) uint16, 0 = empty
+    # Victim cache: fingerprints evicted by an exhausted kick chain. Keeping
+    # them here (checked by contains()) preserves the no-false-negative
+    # contract even when the table overfills; a victim is a degraded slot
+    # (fingerprint-only membership), not a lost key.
+    victims: set = None
+
+    def __post_init__(self):
+        if self.victims is None:
+            self.victims = set()
 
     @classmethod
     def create(cls, capacity: int) -> "CuckooFilter":
@@ -77,9 +86,16 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = f
                 return True
-        return False  # table overfull
+        # Table overfull: the fingerprint displaced by the final kick would
+        # otherwise vanish (a silent false negative for whichever key put it
+        # there). Stash it in the victim cache instead.
+        self.victims.add(int(f))
+        return False
 
     def insert(self, keys: np.ndarray) -> int:
+        """Insert keys; returns the number that landed in the victim cache
+        (filter over capacity — membership still holds, but victim entries
+        match on fingerprint alone and cannot be deleted; rebuild larger)."""
         f = _fingerprint(keys)
         i = _index1(keys, self.n_buckets)
         failed = 0
@@ -111,4 +127,8 @@ class CuckooFilter:
         i2 = _alt_index(i1, f, self.n_buckets)
         in1 = (self.table[i1] == f[:, None]).any(axis=1)
         in2 = (self.table[i2] == f[:, None]).any(axis=1)
-        return in1 | in2
+        hit = in1 | in2
+        if self.victims:
+            vic = np.isin(f, np.fromiter(self.victims, np.uint16))
+            hit = hit | vic
+        return hit

@@ -32,13 +32,21 @@ def words(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (1-based positions)."""
+    """Distinct word n-gram shingles per document (1-based positions).
+
+    Documents with fewer than ``n`` words yield NO shingles (they simply
+    drop out of the explode), matching the DuckDB oracles' generate_series
+    semantics — an unguarded sequence(1, size-n+1) would DESCEND for short
+    docs and element_at would then throw INVALID_ARRAY_INDEX."""
     w = words(df, text_col)
     gram = F.concat_ws(
         " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
     )
+    positions = F.when(
+        F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        w.select(id_col, F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"), "ws")
+        w.select(id_col, F.explode(positions).alias("i"), "ws")
         .select(id_col, gram.alias("shingle"))
         .distinct()
     )

@@ -19,8 +19,9 @@ frontier is copy-on-write here; with an Iceberg table bucketed by
 
 Determinism: no wall clock anywhere — crawl_time is a logical counter,
 seq a row_number over a total order ending in url_fp. Running the job at
-local[8] vs local[32] produces byte-identical crawl logs (asserted in
-tests/test_scaling_determinism.py).
+different parallelism levels produces byte-identical crawl logs (asserted
+in tests/test_crawl_equivalence.py::test_partitioning_independence and
+re-checked per-run by bench_scaling.py's output-hash assert).
 """
 
 from __future__ import annotations

@@ -76,24 +76,45 @@ def windowed_fetch_metrics(
 
 
 def seed_sink(frontier_path: str):
-    """foreachBatch sink: idempotent seed insert (anti-join vs existing
-    fps then append) — streaming checkpoint + idempotent write ⇒
-    effectively exactly-once."""
+    """foreachBatch sink: idempotent seed insert, exactly-once per batch.
+
+    Each micro-batch anti-joins against every OTHER batch's fingerprints and
+    then OVERWRITES its own ``batch_id=<n>`` partition directory — a retried
+    batch replaces its previous (possibly torn) attempt instead of appending
+    a duplicate, and excluding its own partition from the anti-join keeps the
+    retry from erasing its own rows. Only a genuinely-missing frontier path
+    is treated as "first batch"; any other read failure propagates."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         from ..functions import urlkit
 
         spark = batch.sparkSession
         canon = urlkit.canonicalize(F.col("seed_url"))
-        rows = batch.filter(F.col("seed_url").isNotNull()).select(
-            canon.alias("url"),
-            urlkit.url_fingerprint(canon).alias("url_fp"),
+        rows = (
+            batch.filter(F.col("seed_url").isNotNull())
+            .select(
+                canon.alias("url"),
+                urlkit.url_fingerprint(canon).alias("url_fp"),
+            )
+            # within-batch dedup (deterministic winner), same K2 semantics
+            .groupBy("url_fp")
+            .agg(F.min("url").alias("url"))
+            .select("url", "url_fp")
         )
         try:
-            existing = spark.read.parquet(frontier_path).select("url_fp")
+            existing = (
+                spark.read.parquet(frontier_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("url_fp")
+            )
             rows = rows.join(existing, "url_fp", "left_anti")
-        except Exception:
-            pass  # first batch: no frontier yet
-        rows.write.mode("append").parquet(frontier_path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+        if rows.limit(1).count() > 0:  # empty partition dirs confuse discovery
+            rows.write.mode("overwrite").parquet(f"{frontier_path}/batch_id={batch_id}")
 
     return write

@@ -41,3 +41,14 @@ def test_delete_then_absent():
     assert still < 0.02, still
     # survivors untouched
     assert bool(cf.contains(keys[1000:]).all())
+
+
+def test_overfull_keeps_no_false_negative_contract():
+    """Insert 4x the filter's capacity: kick chains exhaust and insert()
+    reports failures, but every inserted key must STILL probe positive —
+    evicted fingerprints land in the victim cache (ADVICE r1)."""
+    cf = CuckooFilter.create(512)
+    keys = _keys(4 * 512 * 4)  # 4x (buckets * slots)
+    failed = cf.insert(keys)
+    assert failed > 0  # we really did overfill
+    assert bool(cf.contains(keys).all())

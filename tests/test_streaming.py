@@ -88,7 +88,63 @@ def test_seed_sink_idempotent(spark, tmp_path):
         "seed_url string",
     )
     sink(batch, 0)
-    sink(batch, 1)  # replay — must not duplicate
+    sink(batch, 1)  # later batch with same urls — must not duplicate
+    sink(batch, 0)  # foreachBatch RETRY of batch 0 — must not duplicate
+    #   nor erase batch 0's own rows (the anti-join excludes its own partition)
     out = spark.read.parquet(frontier)
     assert out.count() == 2
     assert out.select("url_fp").distinct().count() == 2
+
+
+def test_seed_sink_propagates_corrupt_frontier(spark, tmp_path):
+    """A frontier path that EXISTS but fails to read must raise, not be
+    silently treated as 'first batch' (ADVICE r1)."""
+    import pytest
+
+    frontier = str(tmp_path / "frontier_corrupt")
+    os.makedirs(frontier)
+    with open(os.path.join(frontier, "garbage.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+    sink = intake.seed_sink(frontier)
+    batch = spark.createDataFrame(
+        [("https://d0001.example.com/asin/0000000001",)], "seed_url string"
+    )
+    with pytest.raises(Exception):
+        sink(batch, 0)
+
+
+def test_job_commands_end_to_end_readstream(spark, tmp_path):
+    """S1 smoke: parse_job_commands + seed_sink under a REAL readStream
+    (file source standing in for kafka — same `value` column contract)."""
+    in_dir = str(tmp_path / "job_cmds")
+    frontier = str(tmp_path / "frontier_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    cmds = [
+        {"job_id": "j1", "spider": "autonomous",
+         "seed_urls": ["https://d0001.example.com/asin/0000000001",
+                       "https://d0002.example.com/asin/0000000002"],
+         "priority": 0},
+        {"job_id": "j2", "spider": "merchant",
+         "seed_urls": ["https://d0001.example.com/asin/0000000001"],  # dup
+         "priority": 1},
+    ]
+    with open(os.path.join(in_dir, "cmds.txt"), "w") as fh:
+        for c in cmds:
+            fh.write(json.dumps(c) + "\n")
+
+    raw = spark.readStream.format("text").load(in_dir)
+    q = (
+        intake.parse_job_commands(raw)
+        .writeStream.foreachBatch(intake.seed_sink(frontier))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(frontier)
+    # 3 seed urls, 1 duplicate fingerprint → 2 distinct frontier rows
+    assert out.select("url_fp").distinct().count() == 2
+    assert out.count() == 2
