@@ -160,6 +160,131 @@ def lsh_topk(
     )
 
 
+# -- oracle-mirrorable LSH near-dup (md5-derived hyperplanes) --------------
+
+NEARDUP_PLANES = 5
+NEARDUP_TABLES = 24
+NEARDUP_THRESHOLD = 0.38
+
+
+def md5_plane_weights(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes BOTH engines can derive:
+    w(t,p,j) = (uint32(md5(f"{t}|{p}|{j}")[:8]) % 1000001) / 500000 - 1
+    (j 1-based), i.e. uniform [-1,1). DuckDB computes the identical value
+    via CAST(concat('0x', substr(md5(...),1,8)) AS BIGINT) — no plane
+    literals need to travel into the oracle SQL."""
+    import hashlib
+
+    P = np.empty((n_tables, n_planes, dim), np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(1, dim + 1):
+                h = int(hashlib.md5(f"{t}|{p}|{j}".encode()).hexdigest()[:8], 16)
+                P[t, p, j - 1] = (h % 1000001) / 500000.0 - 1.0
+    return P
+
+
+def neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via LSH buckets + exact cosine verify — the
+    100-TB-shaped replacement for the all-pairs crossJoin: vectors explode
+    into one bucket per hash table, pairs come from an EQUI-join on the
+    bucket key (shuffle-hash/sort-merge, never CartesianProduct), and only
+    bucket-co-resident pairs pay the exact-cosine fold.
+
+    Every arithmetic step folds in element order as doubles (F.aggregate,
+    mirrored by DuckDB sum(... ORDER BY)), so candidate sets and the final
+    threshold cut are bit-identical cross-engine.
+
+    Parameters are an honest recall/cost dial, measured not assumed
+    (tests/test_similarity.py): on the driver's structureless corpus the
+    defaults give recall 0.93 vs brute force at sf0.1; on clustered real
+    corpora (planted-dup test) the same operator prunes >90% of pairs."""
+    dim = len(vectors.select(emb_col).first()[0])
+    P = md5_plane_weights(dim, n_planes, n_tables)
+
+    def code(t: int) -> F.Column:
+        bits = F.lit(t << n_planes).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(w)) for w in P[t, p]])
+            bits = bits + F.when(
+                dot_cols(F.col(emb_col), plane) > 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return bits
+
+    bucketed = vectors.select(
+        F.col(id_col),
+        F.col(emb_col),
+        norm_col(F.col(emb_col)).alias("nr"),
+        F.explode(F.array(*[code(t) for t in range(n_tables)])).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("emb_a"),
+        F.col("nr").alias("norm_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(emb_col).alias("emb_b"),
+        F.col("nr").alias("norm_b"),
+        "bucket",
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "norm_a", "norm_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cosine = dot_cols("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
+    return cand.filter(cosine >= threshold).select("vec_a", "vec_b")
+
+
+def neardup_oracle_sql(
+    threshold: float = NEARDUP_THRESHOLD,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+) -> str:
+    """DuckDB oracle mirroring neardup_pairs_lsh's exact bucket math —
+    planes re-derived from md5 in SQL, dots folded in element order."""
+    return f"""
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+    dims AS (SELECT DISTINCT i AS j FROM ex),
+    planes AS (
+      SELECT t, p, j,
+             (CAST(concat('0x', substr(md5(concat(t, '|', p, '|', j)), 1, 8)) AS BIGINT)
+              % 1000001) / 500000.0 - 1.0 AS w
+      FROM generate_series(0, {n_tables - 1}) AS tt(t),
+           generate_series(0, {n_planes - 1}) AS pp(p),
+           dims),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x ORDER BY i)) AS nr FROM ex GROUP BY vec_id),
+    dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.x * pl.w ORDER BY e.i) AS d
+             FROM ex e JOIN planes pl ON pl.j = e.i
+             GROUP BY e.vec_id, pl.t, pl.p),
+    codes AS (SELECT vec_id, t,
+                     sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                       + (t::BIGINT << {n_planes}) AS bucket
+              FROM dots GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    dotp AS (SELECT c.vec_a, c.vec_b, sum(ea.x * eb.x ORDER BY ea.i) AS dot
+             FROM cand c
+             JOIN ex ea ON ea.vec_id = c.vec_a
+             JOIN ex eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+             GROUP BY c.vec_a, c.vec_b)
+    SELECT vec_a, vec_b
+    FROM dotp JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nr * nb.nr) >= {threshold}
+    """
+
+
 def brute_force_topk_numpy(
     vectors: DataFrame,
     queries: DataFrame,

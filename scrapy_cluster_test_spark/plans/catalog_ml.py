@@ -136,22 +136,21 @@ _EMB_EXPAND_SQL = """
 """
 
 
-@query(
-    "embedding_neardup_pairs",
-    f"""
-    WITH {_EMB_EXPAND_SQL},
-    dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x ORDER BY a.i) AS dot
-             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-             GROUP BY a.vec_id, b.vec_id)
-    SELECT va AS vec_a, vb AS vec_b
-    FROM dots JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
-    WHERE dot / (na.nr * nb.nr) >= 0.38
-    """,
-)
+@query("embedding_neardup_pairs", similarity.neardup_oracle_sql())
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.38 ≈ p99.9 of the
-    synthetic corpus). Cosine folds element-in-order as doubles on both
-    engines → bit-identical, so the threshold cut is exact."""
+    """Embedding-cosine near-duplicate pairs, 100-TB shape: LSH bucket
+    equi-join (md5-derived hyperplanes, mirrored exactly by the DuckDB
+    oracle) restricts candidates, exact ordered-fold cosine verifies — no
+    CartesianProduct anywhere in the plan (asserted in tests/test_plans).
+    Recall vs the brute-force cross join is measured (0.93 at sf0.1,
+    tests/test_similarity.py), not assumed."""
+    return similarity.neardup_pairs_lsh(_embs(spark, sf_dir))
+
+
+def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-side recall reference ONLY (not registered): the r1 all-pairs
+    crossJoin — O(N²), a scale-killer kept solely to measure the LSH
+    operator's recall against exact truth."""
     e = _embs(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("vec_a"),

@@ -99,3 +99,14 @@ def test_pop_uses_takeordered_or_window(spark, universe):
     ev = tables.load(spark, SF_TINY, "events")
     q = ev.orderBy("ts").limit(10)
     assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_neardup_plan_has_no_cartesian(spark):
+    """VERDICT r1 gate: embedding_neardup_pairs must plan as a bucket
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from scrapy_cluster_test_spark.plans.catalog import catalog
+
+    df = catalog()["embedding_neardup_pairs"].builder(spark, SF_TINY)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

@@ -68,3 +68,58 @@ def test_lsh_bucket_determinism(spark, embs):
     b1 = similarity.lsh_topk(embs, _queries(embs), dim=DIM, k=5, n_tables=4).collect()
     b2 = similarity.lsh_topk(embs, _queries(embs), dim=DIM, k=5, n_tables=4).collect()
     assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+
+
+def test_neardup_lsh_recall_sf01(spark):
+    """VERDICT r1 gate: the oracle-checked near-dup operator must recover
+    >=0.9 of the true cosine>=0.38 pairs at sf0.1 (measured vs the exact
+    crossJoin reference, which survives only as this test's truth)."""
+    from scrapy_cluster_test_spark.plans.catalog_ml import (
+        embedding_neardup_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    truth = {
+        (r.vec_a, r.vec_b) for r in embedding_neardup_bruteforce(spark, sf).collect()
+    }
+    e = tables.load(spark, sf, "embeddings")
+    got = {
+        (r.vec_a, r.vec_b) for r in similarity.neardup_pairs_lsh(e).collect()
+    }
+    assert got <= truth  # exact verify: no false positives, ever
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_neardup_lsh_prunes_on_clustered_corpus(spark):
+    """On a corpus with real structure (planted near-dups at cosine~0.98,
+    rest random) the SAME operator at production params (8 planes, 4
+    tables) finds every planted pair while examining <15% of all pairs —
+    the pruning the driver's structureless corpus cannot exhibit."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 14]))
+    base = rng.standard_normal((200, 16))
+    planted = base[:40] + 0.05 * rng.standard_normal((40, 16))
+    vecs = np.vstack([base, planted])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = similarity.neardup_pairs_lsh(
+        df, threshold=0.9, n_planes=8, n_tables=4
+    )
+    pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+    expected = {(i, 200 + i) for i in range(40)}
+    missed = expected - pairs
+    assert len(missed) <= 2, missed  # >=95% of planted dups found
+
+    # pruning: count candidate pairs the bucket join admits
+    P = similarity.md5_plane_weights(16, 8, 4)
+    cand = 0
+    for t in range(4):
+        codes = ((vecs @ P[t].transpose()) > 0) @ (1 << np.arange(8))
+        for b in np.unique(codes):
+            s = int((codes == b).sum())
+            cand += s * (s - 1) // 2
+    frac = cand / (len(vecs) * (len(vecs) - 1) / 2)
+    assert frac < 0.15, frac
