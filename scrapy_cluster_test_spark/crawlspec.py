@@ -46,6 +46,11 @@ RETRY_PRIORITY_ADJUST = -1  # scrapy default; lower sorts first in our queue
 RETRY_STATUS = (404, 429, 503, 520)
 MAX_CHILDREN = 10  # offers per page (spiders/amazon_merchant.py:137)
 PROVIDERS = ("crawlera", "proxycrawl")
+# images table partition count: image i lives in partition i % N_IMG_BUCKETS.
+# The popped side derives the same bucket natively from the URL's numeric
+# index, so the payload join dynamic-partition-prunes the images scan to
+# only the buckets an epoch touches (VERDICT r1 scale-killer #2).
+N_IMG_BUCKETS = 64
 
 
 # ---------------------------------------------------------------------------

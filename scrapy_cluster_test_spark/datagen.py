@@ -53,6 +53,7 @@ def make_image_row(i: int) -> dict:
         "fmt": fmt,
         "caption": caption,
         "phash": phash64(img),
+        "img_bucket": int(i % spec.N_IMG_BUCKETS),
     }
 
 
@@ -80,6 +81,7 @@ def _gen_images_lite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "fmt": ["png"] * len(i),
                 "caption": "caption " + pd.Series(i).astype(str) + ":",
                 "phash": ph,
+                "img_bucket": (i % spec.N_IMG_BUCKETS).astype(np.int32),
             }
         )
 
@@ -145,9 +147,11 @@ def generate_all(
     lite: bool = False,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    generate_images(spark, n_images, lite=lite).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "images.parquet")
-    )
+    # partitionBy the bucket key: each epoch's payload join dynamic-partition-
+    # prunes the scan to the buckets its popped URLs touch (test_plans asserts)
+    generate_images(spark, n_images, lite=lite).write.partitionBy(
+        "img_bucket"
+    ).mode("overwrite").parquet(os.path.join(out_dir, "images.parquet"))
     spark.createDataFrame(seed_rows(n_images, n_seeds), SEEDS).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "seeds.parquet"))

@@ -170,6 +170,9 @@ def run_epoch(
         popped = fr_ops.salted_repartition(
             popped, p.fetch_partitions, p.salt_buckets
         )
+    # persist: join_payload's bucket-set collect and the join itself both
+    # consume popped — without this the pop window would run twice
+    popped = popped.persist()
     payload = fetchsim.join_payload(popped, images)
     fetched = fetchsim.fetch_statuses(payload).persist()
 
@@ -216,6 +219,7 @@ def run_epoch(
     )
     next_fr.write.parquet(os.path.join(ed, "frontier"))
     fetched.unpersist()
+    popped.unpersist()
 
     # ---- metrics (A3/A4 counter tree) — ONE aggregation over the snapshot
     # plus per-partition lineage rows: fetch counts per domain-hash bucket

@@ -20,6 +20,10 @@ IMAGES = T.StructType(
         T.StructField("fmt", T.StringType(), False),
         T.StructField("caption", T.StringType(), False),
         T.StructField("phash", T.LongType(), False),
+        # storage-layout column, NOT part of the logical input_hint shape:
+        # partition key (image index % N_IMG_BUCKETS) written via partitionBy
+        # so the per-epoch payload join partition-prunes the 10^10-row scan
+        T.StructField("img_bucket", T.IntegerType(), False),
     ]
 )
 

@@ -44,10 +44,14 @@ CHILD_SCHEMA = "parent_seq long, parent_fp long, child_k int, url string, queue_
 
 
 def attach_image_id(popped: DataFrame) -> DataFrame:
-    """image_id from the URL path: .../{kind}/{j:010d} → img{j:010d}."""
+    """image_id + partition bucket from the URL path, natively:
+    .../{kind}/{j:010d} → (img{j:010d}, j % N_IMG_BUCKETS)."""
+    j = F.regexp_extract("url", r"/(\d{10})$", 1)
     return popped.withColumn(
-        "image_id",
-        F.concat(F.lit("img"), F.regexp_extract("url", r"/(\d{10})$", 1)),
+        "image_id", F.concat(F.lit("img"), j)
+    ).withColumn(
+        "img_bucket",
+        F.pmod(j.cast("long"), F.lit(spec.N_IMG_BUCKETS)).cast("int"),
     )
 
 
@@ -56,10 +60,29 @@ def join_payload(popped: DataFrame, images: DataFrame, with_bytes: bool = False)
 
     Broadcast the popped side; Catalyst prunes the image columns not
     selected (bytes stays unread unless requested — check ReadSchema in
-    .explain)."""
-    cols = ["image_id", "phash"] + (["bytes", "caption", "w", "h", "fmt"] if with_bytes else [])
+    .explain). The images table is written partitionBy(img_bucket) and the
+    popped side derives the same bucket natively, so joining on
+    (img_bucket, image_id) dynamic-partition-prunes the scan: an epoch
+    touching k of the N_IMG_BUCKETS partitions reads only those — at 10^10
+    images the fetch path's scan bill is O(popped), not O(table)
+    (PartitionFilters asserted in tests/test_plans.py)."""
+    cols = ["image_id", "img_bucket", "phash"] + (
+        ["bytes", "caption", "w", "h", "fmt"] if with_bytes else []
+    )
     im = images.select(*cols)
-    return im.join(F.broadcast(attach_image_id(popped)), "image_id", "inner")
+    tagged = attach_image_id(popped)
+    # Static partition pruning: the distinct bucket set is bounded by the
+    # CONSTANT N_IMG_BUCKETS (≤64 ints), never by data size — a legitimate
+    # driver-side collect. Catalyst turns the isin into PartitionFilters on
+    # the scan, which Spark's DPP heuristics decline here (no selective
+    # build-side filter to trigger them).
+    buckets = [
+        r[0] for r in tagged.select("img_bucket").distinct().collect()
+    ]
+    im = im.filter(F.col("img_bucket").isin(buckets))
+    return im.join(
+        F.broadcast(tagged), ["img_bucket", "image_id"], "inner"
+    ).drop("img_bucket")
 
 
 def fetch_statuses(popped_with_payload: DataFrame) -> DataFrame:

@@ -110,3 +110,32 @@ def test_neardup_plan_has_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_fetch_join_partition_prunes(spark, universe):
+    """VERDICT r1 scale-killer #2: the payload join must read only the
+    img_bucket partitions the popped batch touches — PartitionFilters with
+    an IN-set on the scan, never a full images sweep."""
+    import re
+
+    images = spark.read.parquet(f"{DATA}/images.parquet")
+    seeds = spark.read.parquet(f"{DATA}/seeds.parquet")
+    from scrapy_cluster_test_spark.functions import urlkit
+
+    canon = urlkit.canonicalize(F.col("url"))
+    popped = seeds.select(
+        canon.alias("url"),
+        urlkit.url_fingerprint(canon).alias("url_fp"),
+        "queue_kind",
+        F.lit(0).alias("priority"),
+        F.col("crawl_time"),
+        F.lit(0).alias("retry_times"),
+        F.lit("crawlera").alias("provider"),
+        urlkit.domain_of(canon).alias("domain"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    joined = fetchsim.join_payload(popped, images, with_bytes=False)
+    plan = _plan(joined)
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf is not None, plan[:2000]
+    assert re.search(r"img_bucket#\d+ IN \(", pf.group(0)), pf.group(0)
