@@ -64,6 +64,41 @@ def salted_repartition(
     )
 
 
+def distributed_rank(df: DataFrame, order_cols: list, out_col: str) -> DataFrame:
+    """Global row_number over a total order WITHOUT a single-partition sort
+    (VERDICT r1 scale-killer #3).
+
+    Two-level ranking: range-repartition on the order columns (partitions
+    tile the total order), rank locally per partition, then add the row
+    count of all earlier ranges. The offsets come from a triangular join
+    over the per-partition counts — at most ``spark.sql.shuffle.partitions``
+    rows, so no Exchange SinglePartition appears anywhere in the plan
+    (asserted in tests/test_plans.py).
+
+    The produced ranks are IDENTICAL to ``row_number().over(W.orderBy(...))``
+    for any total order (the range boundaries — sampled, and possibly
+    AQE-coalesced — only decide which task computes which slice, never the
+    rank itself), so crawl logs stay byte-identical (test_crawl_equivalence).
+    """
+    part = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_c"))
+    earlier = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
+    )
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.withColumn("_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(earlier), "_pid")
+        .withColumn(out_col, (F.col("_lrk") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrk", "_off")
+    )
+
+
 def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split pending rows into (allowed, blocked) via a broadcast join on
     (domain, path_bucket). Reference has no robots support (SURVEY Q13);
@@ -117,11 +152,12 @@ def pop_batch(
     else:
         cand = cand.withColumn("kind_rk", F.lit(0))
 
-    # seq over the popped batch only (small), not the frontier table
-    w_seq = W.orderBy(*POP_ORDER)
-    return cand.withColumn(
-        "seq", F.row_number().over(w_seq).cast("long") + F.lit(seq_base).cast("long")
-    ).drop("kind_rank", "dom_rk", "kind_rk", "budget_per_epoch")
+    # seq over the popped batch only (small), not the frontier table —
+    # distributed two-level rank, never a single-partition window
+    ranked = distributed_rank(cand, POP_ORDER, "_seq_rk")
+    return ranked.withColumn(
+        "seq", F.col("_seq_rk") + F.lit(seq_base).cast("long")
+    ).drop("_seq_rk", "kind_rank", "dom_rk", "kind_rk", "budget_per_epoch")
 
 
 def apply_fetch_outcome(popped_fetched: DataFrame, epoch: int) -> DataFrame:
@@ -191,8 +227,10 @@ def enqueue_children(
         .drop("rn")
         .join(frontier_fps, "url_fp", "left_anti")
     )
-    w_rank = W.orderBy("parent_seq", "child_k")
+    # (parent_seq, child_k) is unique per surviving child, so the two-level
+    # distributed rank reproduces the sequential FIFO numbering exactly
     base = (epoch + 1) * 1_000_000_000
+    fresh = distributed_rank(fresh, ["parent_seq", "child_k"], "_enq_rk")
     return fresh.select(
         "url",
         "url_fp",
@@ -200,9 +238,7 @@ def enqueue_children(
         "domain_hash",
         "queue_kind",
         F.lit(0).alias("priority"),
-        (F.row_number().over(w_rank).cast("long") + F.lit(base - 1).cast("long")).alias(
-            "crawl_time"
-        ),
+        (F.col("_enq_rk") + F.lit(base - 1).cast("long")).alias("crawl_time"),
         F.lit(0).alias("retry_times"),
         F.lit("crawlera").alias("provider"),
         F.lit("pending").alias("status"),

@@ -139,3 +139,33 @@ def test_fetch_join_partition_prunes(spark, universe):
     pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
     assert pf is not None, plan[:2000]
     assert re.search(r"img_bucket#\d+ IN \(", pf.group(0)), pf.group(0)
+
+
+def test_pop_batch_no_single_partition_window(spark, universe):
+    """VERDICT r1 scale-killer #3: seq assignment must be the two-level
+    distributed rank — no Exchange SinglePartition anywhere in pop_batch
+    or enqueue_children plans."""
+    robots = spark.read.parquet(f"{DATA}/robots.parquet")
+    domains = spark.read.parquet(f"{DATA}/domains.parquet")
+    frontier = spark.createDataFrame(
+        [
+            ("https://d0001.example.com/asin/0000000001", 1, "d0001.example.com",
+             11, "asin", 0, 1, 0, "crawlera", "pending", 3, None, 0)
+        ],
+        "url string, url_fp long, domain string, domain_hash long, queue_kind string,"
+        "priority int, crawl_time long, retry_times int, provider string,"
+        "status string, path_bucket int, parent_fp long, epoch int",
+    )
+    allowed, _ = fr_ops.robots_split(frontier, robots)
+    popped = fr_ops.pop_batch(allowed, domains, 10, 10, 0)
+    assert "SinglePartition" not in _plan(popped), _plan(popped)[:3000]
+
+    children = spark.createDataFrame(
+        [("https://d0001.example.com/asin/0000000002", 2, "d0001.example.com",
+          11, "asin", 5, 1, 1, 0)],
+        "url string, url_fp long, domain string, domain_hash long,"
+        "queue_kind string, path_bucket int, parent_fp long, parent_seq long,"
+        "child_k int",
+    )
+    enq = fr_ops.enqueue_children(children, frontier.select("url_fp"), 0)
+    assert "SinglePartition" not in _plan(enq), _plan(enq)[:3000]
