@@ -79,3 +79,83 @@ def per_page_rollup(offers: DataFrame, id_col: str = "image_id") -> DataFrame:
             F.size(F.collect_set(F.when(~F.col("is_prime"), F.col("token")))) <= 1
         ).alias("private_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide-struct product-page extractor (SURVEY X5/X6/X9)
+# ---------------------------------------------------------------------------
+
+PRODUCT_FIELDS = [
+    "marketplace_id", "answered_questions", "customer_reviews", "rating",
+    "amazon_choice", "rank", "category", "is_amazon_selling", "amazon_price",
+    "best_seller", "subscribe_save", "upcs", "number_of_sellers", "feedbacks",
+]
+
+
+def parse_product_struct(pages: DataFrame, text_col: str = "page_text") -> DataFrame:
+    """Product-page text → one wide typed struct per page (the analog of
+    parse_amazon_product_listing_page, core/sellgo_core/utils/parser.py:
+    191-431: 13 scalar fields + the nested feedback array of
+    amazon_merchant.py:470-484). All extraction is NATIVE regexp — 14
+    fields cost one codegen'd projection, no UDF, no HTML library.
+
+    Field semantics track the reference exactly:
+      * int counters default to 0 when the marker is absent
+        (parser.py try/except → 0);
+      * rank strips thousands commas before the cast (parser.py:259);
+      * rating/price are null-safe float casts;
+      * is_amazon_selling is a case-insensitive substring test
+        (parser.py:291-302);
+      * feedbacks is ArrayType(Struct(stars, comment)) — the X6 nested
+        array — parsed with regexp_extract_all + transform.
+    """
+    t = F.col(text_col)
+
+    def _int0(pat: str) -> F.Column:  # absent marker → 0, reference default
+        return F.coalesce(
+            F.regexp_extract(t, pat, 1).try_cast("int"), F.lit(0)
+        )
+
+    fb_matches = F.expr(
+        rf"regexp_extract_all({text_col}, 'FB\\[([0-9.]+)\\|([^\\]]*)\\]', 0)"
+    )
+    feedbacks = F.transform(
+        fb_matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, r"FB\[([0-9.]+)\|", 1).cast("double").alias("stars"),
+            F.regexp_extract(m, r"\|([^\]]*)\]", 1).alias("comment"),
+        ),
+    )
+    sells = F.lower(t).contains("sold by amazon.com")
+    product = F.struct(
+        F.lit("US-1").alias("marketplace_id"),
+        _int0(r"(\d+) answered questions").alias("answered_questions"),
+        _int0(r"(\d+) customer reviews").alias("customer_reviews"),
+        F.coalesce(
+            F.regexp_extract(t, r"([0-9.]+) out of 5 stars", 1).try_cast("double"),
+            F.lit(0.0),
+        ).alias("rating"),
+        F.nullif(F.regexp_extract(t, r'Choice for "([^"]+)"', 1), F.lit("")).alias(
+            "amazon_choice"
+        ),
+        F.regexp_replace(F.regexp_extract(t, r"#([\d,]+) in ", 1), ",", "")
+        .try_cast("int")
+        .alias("rank"),
+        F.nullif(F.regexp_extract(t, r"#[\d,]+ in ([A-Za-z ]+?) \|", 1), F.lit("")).alias(
+            "category"
+        ),
+        sells.alias("is_amazon_selling"),
+        F.when(
+            sells, F.regexp_extract(t, r"\$([0-9.]+)", 1).try_cast("double")
+        ).alias("amazon_price"),
+        F.nullif(F.regexp_extract(t, r"Best Seller in ([A-Za-z ]+?) \|", 1), F.lit("")).alias(
+            "best_seller"
+        ),
+        t.contains("Subscribe & Save:").alias("subscribe_save"),
+        F.nullif(F.regexp_extract(t, r"UPC: (\d+)", 1), F.lit("")).alias("upcs"),
+        F.regexp_extract(t, r"New \((\d+)\) from", 1).try_cast("int").alias(
+            "number_of_sellers"
+        ),
+        feedbacks.alias("feedbacks"),
+    )
+    return pages.withColumn("product", product)

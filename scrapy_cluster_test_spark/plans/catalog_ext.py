@@ -608,3 +608,95 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "state_code_lookup",
+    """
+    WITH us_states(code, state_name) AS (
+      VALUES ('CA','California'),('NY','New York'),('TX','Texas'),
+             ('WA','Washington'),('FL','Florida')),
+    rows AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 4 THEN 'CA' ELSE 'US' END AS country,
+             CASE c_custkey % 7
+               WHEN 0 THEN 'ca' WHEN 1 THEN 'N.Y' WHEN 2 THEN 'california'
+               WHEN 3 THEN 'TEXAS' WHEN 4 THEN 'zz' WHEN 5 THEN 'puerto rico'
+               ELSE 'Wa' END AS state_raw
+      FROM customer),
+    cl AS (SELECT c_custkey, country, state_raw,
+                  upper(replace(state_raw, '.', '')) AS st FROM rows)
+    SELECT c_custkey, country, state_raw,
+           CASE WHEN country <> 'US' THEN state_raw
+                ELSE coalesce(
+                  (SELECT code FROM us_states WHERE len(st) = 2 AND st = code),
+                  (SELECT code FROM us_states WHERE st = upper(state_name)),
+                  st) END AS state_code
+    FROM cl
+    """,
+)
+def state_code_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 with the reference's ACTUAL lookup semantics: two-way OR match
+    (2-char code OR full state name, case-insensitive), first-match-wins,
+    unmatched passes through, non-US untouched
+    (amazon_merchant.py:493-506). Expressed as two broadcast left joins +
+    coalesce precedence — no list walk, no UDF."""
+    from ..operators.lookup import resolve_state
+
+    us_states = spark.createDataFrame(
+        [("CA", "California"), ("NY", "New York"), ("TX", "Texas"),
+         ("WA", "Washington"), ("FL", "Florida")],
+        "code string, state_name string",
+    )
+    c = _t(spark, sf_dir, "customer")
+    rows = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 4, "CA").otherwise("US").alias("country"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      ("ca", "N.Y", "california", "TEXAS", "zz", "puerto rico", "Wa")]),
+            (F.col("c_custkey") % 7).cast("int") + 1,
+        ).alias("state_raw"),
+    )
+    return resolve_state(rows, us_states).select(
+        "c_custkey", "country", "state_raw", "state_code"
+    )
+
+
+@query(
+    "mws_pricing_report_rows",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS product_id, CAST(o_orderkey % 3 AS INT) AS n_prices
+      FROM orders),
+    idx AS (SELECT product_id, CAST(j AS INT) AS price_idx
+            FROM base, LATERAL unnest(generate_series(0, n_prices - 1)) AS t(j)
+            WHERE n_prices > 0)
+    SELECT product_id, price_idx,
+           CASE WHEN price_idx % 2 = 0 THEN 'New' ELSE 'Used' END AS condition,
+           CASE WHEN price_idx % 2 = 0 THEN 'Mint' ELSE 'Good' END AS subcondition,
+           CAST(product_id * 10 + price_idx AS VARCHAR) AS competitive_price_id,
+           'USD' AS landed_currency,
+           CAST(CAST(product_id % 1000 AS DOUBLE) / 100 + price_idx AS DOUBLE) AS landed_amount,
+           CAST(CAST(product_id % 1000 AS DOUBLE) / 100 + price_idx - 0.5 AS DOUBLE) AS listing_amount,
+           CAST(price_idx * 0.25 AS DOUBLE) AS shipping_amount
+    FROM idx
+    """,
+)
+def mws_pricing_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: MWS GetCompetitivePricing report → typed price rows
+    (core/sellgo_core/utils/parser.py:14-88), Spark-first: the nested
+    report JSON is parsed with from_json against an EXPLICIT nested schema
+    and exploded natively — no UDF, no schema inference.
+
+    The reference's isinstance(list) normalization (a report field is
+    either ONE object or a LIST of them, parser.py:15-19,28-34) is
+    reproduced natively: single-object payloads are wrapped into
+    one-element JSON arrays with a `when(startswith('['))` before
+    from_json. The oracle computes the same rows arithmetically — the
+    driver compare proves the JSON round-trip is lossless."""
+    from ..operators.mws import parse_competitive_pricing, synth_pricing_report
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("product_id"))
+    reports = synth_pricing_report(o, "product_id")
+    return parse_competitive_pricing(reports, "report_json", "product_id")

@@ -303,3 +303,139 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-shingle fingerprint (hex + 60-bit int form)."""
     return textanalysis.fingerprint(_docs(spark, sf_dir))
+
+
+_PAGE_TEXT_SQL = """
+    pg AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 <> 0
+             THEN CAST(doc_id % 300 AS VARCHAR) || ' answered questions | ' ELSE '' END
+        || CAST(doc_id % 500 AS VARCHAR) || ' customer reviews | '
+        || CAST((doc_id % 45 + 5) // 10 AS VARCHAR) || '.' || CAST((doc_id % 45 + 5) % 10 AS VARCHAR)
+           || ' out of 5 stars | '
+        || CASE WHEN doc_id % 4 = 0
+             THEN 'Amazons Choice for "tok' || CAST(doc_id % 100 AS VARCHAR) || '" | ' ELSE '' END
+        || CASE WHEN doc_id % 6 <> 0
+             THEN '#' || CASE WHEN doc_id % 6 = 2 THEN '1,234'
+                              ELSE CAST(doc_id % 900 + 100 AS VARCHAR) END
+                  || ' in ' || (['Books','Home Goods','Toys'])[CAST(doc_id % 3 AS INT) + 1]
+                  || ' | ' ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+             THEN CASE WHEN doc_id % 8 = 0 THEN 'sold by amazon.com' ELSE 'Sold by Amazon.com' END
+                  || ' $' || CAST((doc_id % 10000 + 99) // 100 AS VARCHAR) || '.'
+                  || lpad(CAST((doc_id % 10000 + 99) % 100 AS VARCHAR), 2, '0') || ' | ' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN 'Best Seller in Books | ' ELSE '' END
+        || CASE WHEN doc_id % 9 = 0 THEN 'Subscribe & Save: | ' ELSE '' END
+        || CASE WHEN doc_id % 10 = 0 THEN 'UPC: ' || CAST(doc_id * 7 AS VARCHAR) || ' | ' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN 'New (' || CAST(doc_id % 50 + 1 AS VARCHAR) || ') from | ' ELSE '' END
+        || CASE WHEN doc_id % 3 >= 1
+             THEN 'FB[' || CAST((doc_id % 50) // 10 AS VARCHAR) || '.' || CAST((doc_id % 50) % 10 AS VARCHAR)
+                  || '|c' || CAST(doc_id % 7 AS VARCHAR) || '] ' ELSE '' END
+        || CASE WHEN doc_id % 3 = 2
+             THEN 'FB[' || CAST(((doc_id + 1) % 50) // 10 AS VARCHAR) || '.' || CAST(((doc_id + 1) % 50) % 10 AS VARCHAR)
+                  || '|c' || CAST((doc_id + 1) % 7 AS VARCHAR) || '] ' ELSE '' END
+        AS page_text
+      FROM documents)
+"""
+
+
+def _synth_page_text(k: F.Column) -> F.Column:
+    """The Spark twin of _PAGE_TEXT_SQL — all-integer string building so
+    both engines emit byte-identical page text."""
+    def s(c):
+        return c.cast("long").cast("string")
+
+    def dec(v):  # integer-built 'X.Y'
+        return F.concat(s(F.floor(v / 10)), F.lit("."), s(v % 10))
+
+    price_v = k % 10000 + 99
+    cat = F.element_at(
+        F.array(F.lit("Books"), F.lit("Home Goods"), F.lit("Toys")),
+        (k % 3).cast("int") + 1,
+    )
+    def fb(x):
+        return F.concat(F.lit("FB["), dec(x % 50), F.lit("|c"), s(x % 7), F.lit("] "))
+
+    return F.concat(
+        F.when(k % 5 != 0, F.concat(s(k % 300), F.lit(" answered questions | "))).otherwise(""),
+        s(k % 500), F.lit(" customer reviews | "),
+        dec(k % 45 + 5), F.lit(" out of 5 stars | "),
+        F.when(k % 4 == 0, F.concat(F.lit('Amazons Choice for "tok'), s(k % 100), F.lit('" | '))).otherwise(""),
+        F.when(
+            k % 6 != 0,
+            F.concat(
+                F.lit("#"),
+                F.when(k % 6 == 2, F.lit("1,234")).otherwise(s(k % 900 + 100)),
+                F.lit(" in "), cat, F.lit(" | "),
+            ),
+        ).otherwise(""),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.when(k % 8 == 0, F.lit("sold by amazon.com")).otherwise(F.lit("Sold by Amazon.com")),
+                F.lit(" $"), s(F.floor(price_v / 100)), F.lit("."),
+                F.lpad(s(price_v % 100), 2, "0"), F.lit(" | "),
+            ),
+        ).otherwise(""),
+        F.when(k % 7 == 0, F.lit("Best Seller in Books | ")).otherwise(""),
+        F.when(k % 9 == 0, F.lit("Subscribe & Save: | ")).otherwise(""),
+        F.when(k % 10 == 0, F.concat(F.lit("UPC: "), s(k * 7), F.lit(" | "))).otherwise(""),
+        F.when(k % 11 == 0, F.concat(F.lit("New ("), s(k % 50 + 1), F.lit(") from | "))).otherwise(""),
+        F.when(k % 3 >= 1, fb(k)).otherwise(""),
+        F.when(k % 3 == 2, fb(k + 1)).otherwise(""),
+    )
+
+
+@query(
+    "extract_product_struct",
+    f"""
+    WITH {_PAGE_TEXT_SQL}
+    SELECT doc_id,
+           coalesce(try_cast(regexp_extract(page_text, '(\\d+) answered questions', 1) AS INT), 0) AS answered_questions,
+           coalesce(try_cast(regexp_extract(page_text, '(\\d+) customer reviews', 1) AS INT), 0) AS customer_reviews,
+           coalesce(try_cast(regexp_extract(page_text, '([0-9.]+) out of 5 stars', 1) AS DOUBLE), 0.0) AS rating,
+           nullif(regexp_extract(page_text, 'Choice for "([^"]+)"', 1), '') AS amazon_choice,
+           try_cast(replace(regexp_extract(page_text, '#([0-9,]+) in ', 1), ',', '') AS INT) AS rank,
+           nullif(regexp_extract(page_text, '#[0-9,]+ in ([A-Za-z ]+?) \\|', 1), '') AS category,
+           strpos(lower(page_text), 'sold by amazon.com') > 0 AS is_amazon_selling,
+           CASE WHEN strpos(lower(page_text), 'sold by amazon.com') > 0
+                THEN try_cast(regexp_extract(page_text, '\\$([0-9.]+)', 1) AS DOUBLE) END AS amazon_price,
+           nullif(regexp_extract(page_text, 'Best Seller in ([A-Za-z ]+?) \\|', 1), '') AS best_seller,
+           strpos(page_text, 'Subscribe & Save:') > 0 AS subscribe_save,
+           nullif(regexp_extract(page_text, 'UPC: (\\d+)', 1), '') AS upcs,
+           try_cast(regexp_extract(page_text, 'New \\((\\d+)\\) from', 1) AS INT) AS number_of_sellers,
+           CAST(len(regexp_extract_all(page_text, 'FB\\[[^\\]]*\\]')) AS INT) AS n_feedback,
+           coalesce(array_to_string(regexp_extract_all(page_text, 'FB\\[[^\\]]*\\]'), ';'), '') AS feedback_summary
+    FROM pg
+    """,
+)
+def extract_product_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X6/X9 parity: the 13-field wide product struct + nested feedback
+    array (parser.py:191-431; amazon_merchant.py:470-484), extracted from
+    deterministically synthesized page text with NATIVE regexp only.
+    Arrays flatten to (count, joined-raw-matches) for the driver's scalar
+    hash; the full nested struct is golden-fixture tested in
+    tests/test_extract_struct.py."""
+    from ..operators.extract import parse_product_struct
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pages = d.withColumn("page_text", _synth_page_text(F.col("doc_id")))
+    parsed = parse_product_struct(pages, "page_text")
+    fb_raw = F.expr(r"regexp_extract_all(page_text, 'FB\\[[^\\]]*\\]', 0)")
+    return parsed.select(
+        "doc_id",
+        F.col("product.answered_questions").alias("answered_questions"),
+        F.col("product.customer_reviews").alias("customer_reviews"),
+        F.col("product.rating").alias("rating"),
+        F.col("product.amazon_choice").alias("amazon_choice"),
+        F.col("product.rank").alias("rank"),
+        F.col("product.category").alias("category"),
+        F.col("product.is_amazon_selling").alias("is_amazon_selling"),
+        F.col("product.amazon_price").alias("amazon_price"),
+        F.col("product.best_seller").alias("best_seller"),
+        F.col("product.subscribe_save").alias("subscribe_save"),
+        F.col("product.upcs").alias("upcs"),
+        F.col("product.number_of_sellers").alias("number_of_sellers"),
+        F.size(fb_raw).cast("int").alias("n_feedback"),
+        F.array_join(fb_raw, ";").alias("feedback_summary"),
+    )
