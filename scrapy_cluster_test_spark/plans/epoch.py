@@ -186,13 +186,18 @@ def run_epoch(
     if p.use_bloom:
         from ..operators import seen as seen_ops
 
-        bloom = seen_ops.build_bloom(
+        shard_bitmaps, m_bits = seen_ops.build_bloom_table(
             frontier_fps, n_shards=p.bloom_shards, expected=expected_frontier
         )
         # first-wins dedup within the epoch must still run (it's not a
         # seen-set concern); enqueue_children handles it, so hand it the
         # bloom-thinned candidate set with an already-resolved seen check.
-        thinned = seen_ops.filter_new(spark, children, frontier_fps, bloom)
+        # Shard-ROUTED probe: each task ships exactly one shard bitmap —
+        # nothing is collected to the driver or broadcast whole.
+        thinned = seen_ops.filter_new_routed(
+            children, frontier_fps, shard_bitmaps, m_bits,
+            n_shards=p.bloom_shards,
+        )
         new_rows = fr_ops.enqueue_children(
             thinned, frontier_fps.limit(0), epoch
         ).select(*FRONTIER_COLS)

@@ -61,3 +61,36 @@ def test_bloom_delta_update(spark, fps):
     # old keys still present
     old = np.array([r.url_fp for r in seen_df.limit(500).collect()], dtype=np.int64)
     assert bool(bloom2.probe_np(old).all())
+
+
+def test_routed_probe_equals_exact(spark):
+    """Shard-routed probe (bitmap table + cogroup) must produce exactly
+    the plain left_anti result — and the probe stage must not broadcast
+    any filter state (VERDICT r1 scale-killer #5)."""
+    from scrapy_cluster_test_spark.operators import seen as seen_ops
+    from pyspark.sql import functions as F
+
+    frontier = spark.range(0, 5000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_fp")
+    )
+    cands = spark.range(2500, 7500).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_fp"),
+        F.col("id").alias("payload"),
+    )
+    shard_bitmaps, m_bits = seen_ops.build_bloom_table(frontier, n_shards=8)
+    routed = seen_ops.filter_new_routed(
+        cands, frontier, shard_bitmaps, m_bits, n_shards=8
+    )
+    exact = cands.join(frontier, "url_fp", "left_anti")
+    assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, exact.collect()))
+
+    # no executor ever holds more than one shard: the bitmap table has one
+    # row per shard, each exactly m_bits/8 bytes, and the probe plan ships
+    # them via shuffle (cogroup/FlatMapCoGroups), never a broadcast
+    rows = shard_bitmaps.collect()
+    assert len(rows) == 8
+    assert all(len(r.bitmap) == m_bits // 8 for r in rows)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    probe_part = plan[: plan.index("CoGroup") + 200] if "CoGroup" in plan else plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:1500]
+    assert "Broadcast" not in probe_part, probe_part
