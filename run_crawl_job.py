@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--asin-cap", type=int, default=2000)
     ap.add_argument("--max-epochs", type=int, default=50)
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--commit-mode", choices=("cow", "delta"), default="cow",
+                    help="delta: write only touched rows per epoch (merge-on-read)")
+    ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--fresh", action="store_true", help="ignore existing snapshots")
     args = ap.parse_args()
 
@@ -63,6 +66,8 @@ def main() -> None:
         asin_cap=args.asin_cap,
         max_epochs=args.max_epochs,
         use_bloom=args.use_bloom,
+        commit_mode=args.commit_mode,
+        compact_every=args.compact_every,
     )
     t0 = time.perf_counter()
     summary = ep.run_crawl(spark, p, resume=not args.fresh)

@@ -67,6 +67,18 @@ class CrawlParams:
     # batches are small); set to ~cluster cores at scale.
     fetch_partitions: int | None = None
     salt_buckets: int = 16
+    # Snapshot strategy (VERDICT r1 scale-killer #4):
+    #   "cow"   — every epoch rewrites the FULL frontier (simple, O(N) IO);
+    #   "delta" — every epoch writes ONLY the touched rows (updated +
+    #             blocked + new) to epoch=N/delta, O(touched) IO; the
+    #             frontier state is base-snapshot ⊕ deltas resolved
+    #             last-writer-wins, and a full compacted snapshot is
+    #             written every `compact_every` epochs to bound the read
+    #             path. This is the sandbox form of an Iceberg MERGE
+    #             (merge-on-read + periodic compaction); crawl output is
+    #             byte-identical across modes (tests/test_delta_mode.py).
+    commit_mode: str = "cow"
+    compact_every: int = 8
 
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
@@ -144,12 +156,60 @@ def _null_audit(df):
     )
 
 
+def _frontier_base_epoch(job_dir: str, upto: int) -> int:
+    """Latest epoch ≤ upto that has a full snapshot (bootstrap or
+    compaction) — the base the delta overlay starts from."""
+    for e in range(upto, -1, -1):
+        if os.path.isdir(os.path.join(_epoch_dir(job_dir, e), "frontier")):
+            return e
+    raise FileNotFoundError(f"no frontier snapshot ≤ epoch {upto} in {job_dir}")
+
+
+def _read_frontier_state(
+    spark: SparkSession, job_dir: str, upto: int, with_audit: bool = False
+) -> DataFrame:
+    """Frontier state as of `upto` in delta mode: base snapshot overlaid
+    with every later delta, resolved last-writer-wins by url_fp.
+
+    Scale shape: the per-fp resolution window runs over DELTA rows only
+    (bounded by budgets × epochs-since-compaction, never the 10^10 base);
+    the base contributes via one anti-join on the touched fps — broadcast
+    when the touched set is small, the same bucketed-MERGE read an Iceberg
+    merge-on-read table does."""
+    cols = SNAPSHOT_COLS if with_audit else FRONTIER_COLS
+    base_e = _frontier_base_epoch(job_dir, upto)
+    base = spark.read.parquet(
+        os.path.join(_epoch_dir(job_dir, base_e), "frontier")
+    ).select(*SNAPSHOT_COLS)
+    deltas = [
+        os.path.join(_epoch_dir(job_dir, e), "delta")
+        for e in range(base_e + 1, upto + 1)
+        if os.path.isdir(os.path.join(_epoch_dir(job_dir, e), "delta"))
+    ]
+    if not deltas:
+        return base.select(*cols)
+    d = spark.read.parquet(*deltas).select(*SNAPSHOT_COLS)
+    # each fp is touched at most once per epoch, so (url_fp, epoch) is
+    # unique and max-epoch-wins is a total resolution
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("url_fp").orderBy(F.col("epoch").desc())
+    latest = (
+        d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    merged = base.join(d.select("url_fp").distinct(), "url_fp", "left_anti").select(
+        *SNAPSHOT_COLS
+    ).unionByName(latest)
+    return merged.select(*cols)
+
+
 def run_epoch(
     spark: SparkSession,
     p: CrawlParams,
     epoch: int,
     seq_base: int,
     expected_frontier: int | None = None,
+    prev_state: dict | None = None,
 ) -> dict:
     """One frontier epoch; returns the commit record.
 
@@ -157,8 +217,11 @@ def run_epoch(
     aggregation over the written snapshot (plus the sharded Bloom build
     when enabled). At 10^10 scale the write becomes the Iceberg MERGE and
     the metrics agg an incremental scan of the changed buckets."""
-    prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
-    fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
+    if p.commit_mode == "delta":
+        fr = _read_frontier_state(spark, p.job_dir, epoch - 1)
+    else:
+        prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
+        fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
     images = spark.read.parquet(p.images_path)
     domains = spark.read.parquet(p.domains_path)
     robots = spark.read.parquet(p.robots_path)
@@ -213,33 +276,47 @@ def run_epoch(
         .withColumn("epoch", F.lit(epoch))
         .select(*FRONTIER_COLS)
     )
-    touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
-    untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
-    next_fr = (
-        _null_audit(untouched)
-        .unionByName(updated)
-        .unionByName(_null_audit(blocked_rows))
+    delta_rows = (
+        updated.unionByName(_null_audit(blocked_rows))
         .unionByName(_null_audit(new_rows))
         .select(*SNAPSHOT_COLS)
     )
-    next_fr.write.parquet(os.path.join(ed, "frontier"))
+    if p.commit_mode == "delta":
+        # O(touched) commit: only the rows this epoch changed hit disk;
+        # a full compacted snapshot every compact_every epochs bounds the
+        # delta chain the read path overlays.
+        delta_rows.write.parquet(os.path.join(ed, "delta"))
+        if epoch % p.compact_every == 0:
+            _read_frontier_state(spark, p.job_dir, epoch, with_audit=True).write.parquet(
+                os.path.join(ed, "frontier")
+            )
+        stats_src = spark.read.parquet(os.path.join(ed, "delta"))
+    else:
+        touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
+        untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
+        next_fr = _null_audit(untouched).select(*SNAPSHOT_COLS).unionByName(delta_rows)
+        next_fr.write.parquet(os.path.join(ed, "frontier"))
+        stats_src = spark.read.parquet(os.path.join(ed, "frontier"))
     fetched.unpersist()
     popped.unpersist()
 
-    # ---- metrics (A3/A4 counter tree) — ONE aggregation over the snapshot
+    # ---- metrics (A3/A4 counter tree) — ONE aggregation over what was
+    # written (full snapshot in cow mode, the touched rows in delta mode)
     # plus per-partition lineage rows: fetch counts per domain-hash bucket
     # (north rule: "every frontier epoch checkpoints per-partition lineage
     # and fetch metrics"), enabling partial-progress audit per bucket.
-    fr2 = spark.read.parquet(os.path.join(ed, "frontier"))
+    # In delta mode the frontier-wide counters (pending/total) are carried
+    # INCREMENTALLY from the previous commit record, so per-epoch metric
+    # cost is O(touched) too.
     this_epoch = (F.col("epoch") == epoch)
     fetched_now = this_epoch & F.col("seq").isNotNull()
     lineage = (
-        fr2.filter(this_epoch & F.col("seq").isNotNull())
+        stats_src.filter(fetched_now)
         .groupBy(F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).alias("b"))
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    agg = fr2.agg(
+    agg = stats_src.agg(
         F.sum(fetched_now.cast("long")).alias("n_popped"),
         F.sum(
             (this_epoch & (F.col("status") == "pending") & (F.col("retry_times") == 0))
@@ -249,6 +326,9 @@ def run_epoch(
             (this_epoch & (F.col("status") == "robots_blocked")).cast("long")
         ).alias("n_blocked"),
         F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
+        F.sum(
+            (fetched_now & F.col("status").isin("done", "failed")).cast("long")
+        ).alias("n_ended"),
         F.count("*").alias("n_frontier"),
         *[
             F.sum((fetched_now & (F.col("status_code") == sc)).cast("long")).alias(
@@ -258,7 +338,21 @@ def run_epoch(
         ],
     ).collect()[0]
     n_popped = int(agg["n_popped"] or 0)
-    n_pending = int(agg["n_pending"] or 0)
+    if p.commit_mode == "delta":
+        assert prev_state is not None, "delta mode needs the previous commit record"
+        n_new = int(agg["n_new"] or 0)
+        # pending' = pending - (popped that ended) - blocked + new;
+        # retried pops stay pending, untouched rows are untouched
+        n_pending = (
+            int(prev_state["pending"])
+            - int(agg["n_ended"] or 0)
+            - int(agg["n_blocked"] or 0)
+            + n_new
+        )
+        n_frontier = int(prev_state["n_frontier"]) + n_new
+    else:
+        n_pending = int(agg["n_pending"] or 0)
+        n_frontier = int(agg["n_frontier"])
     metrics = [
         (epoch, "pop/total", n_popped),
         (epoch, "push/new_urls", int(agg["n_new"] or 0)),
@@ -281,7 +375,7 @@ def run_epoch(
         "seq_base": seq_base + n_popped,
         "pending": n_pending,
         "popped": n_popped,
-        "n_frontier": int(agg["n_frontier"]),
+        "n_frontier": n_frontier,
     }
     with open(_commit_path(p.job_dir, epoch), "w") as f:
         json.dump(rec, f)
@@ -304,7 +398,8 @@ def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
     while state["pending"] > 0 and epoch < p.max_epochs:
         epoch += 1
         state = run_epoch(
-            spark, p, epoch, state["seq_base"], state.get("n_frontier")
+            spark, p, epoch, state["seq_base"], state.get("n_frontier"),
+            prev_state=state,
         )
     return {
         "epochs": epoch,
@@ -323,7 +418,13 @@ def read_crawl_log(spark: SparkSession, job_dir: str) -> DataFrame:
     for e in range(1, (last or 0) + 1):
         if not os.path.exists(_commit_path(job_dir, e)):
             continue
-        snap = spark.read.parquet(os.path.join(_epoch_dir(job_dir, e), "frontier"))
+        ddir = os.path.join(_epoch_dir(job_dir, e), "delta")
+        src = (
+            ddir
+            if os.path.isdir(ddir)
+            else os.path.join(_epoch_dir(job_dir, e), "frontier")
+        )
+        snap = spark.read.parquet(src)
         log = snap.filter(
             (F.col("epoch") == e) & F.col("seq").isNotNull()
         ).select(
@@ -335,4 +436,7 @@ def read_crawl_log(spark: SparkSession, job_dir: str) -> DataFrame:
 
 def read_final_frontier(spark: SparkSession, job_dir: str) -> DataFrame:
     last = last_committed_epoch(job_dir)
-    return spark.read.parquet(os.path.join(_epoch_dir(job_dir, last), "frontier"))
+    snap = os.path.join(_epoch_dir(job_dir, last), "frontier")
+    if os.path.isdir(snap):
+        return spark.read.parquet(snap)
+    return _read_frontier_state(spark, job_dir, last, with_audit=True)

@@ -1,0 +1,113 @@
+"""Delta (merge-on-read) commit mode: identical crawl output to COW,
+resume-safe, and per-epoch write volume scaling with TOUCHED rows, not
+frontier size (VERDICT r1 scale-killer #4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from scrapy_cluster_test_spark import datagen
+from scrapy_cluster_test_spark.plans import epoch as ep
+
+DATA = "/tmp/sct_delta_data"
+
+
+@pytest.fixture(scope="module")
+def universe(spark):
+    datagen.generate_all(spark, DATA, n_images=400, n_seeds=8)
+    return DATA
+
+
+def _params(job_dir, mode, **kw):
+    return ep.CrawlParams(
+        images_path=f"{DATA}/images.parquet",
+        seeds_path=f"{DATA}/seeds.parquet",
+        domains_path=f"{DATA}/domains.parquet",
+        robots_path=f"{DATA}/robots.parquet",
+        job_dir=job_dir,
+        n_images=400,
+        seller_cap=40,
+        asin_cap=25,
+        max_epochs=7,
+        commit_mode=mode,
+        **kw,
+    )
+
+
+def _log(spark, job):
+    return sorted(tuple(r) for r in ep.read_crawl_log(spark, job).collect())
+
+
+def _final(spark, job):
+    cols = ep.FRONTIER_COLS
+    return sorted(
+        tuple(r) for r in ep.read_final_frontier(spark, job).select(*cols).collect()
+    )
+
+
+def _metrics(spark, job):
+    rows = spark.read.parquet(f"{job}/epoch=*/metrics")
+    return sorted(tuple(r) for r in rows.collect())
+
+
+def test_delta_equals_cow(spark, universe, tmp_path):
+    cow, dlt = str(tmp_path / "cow"), str(tmp_path / "dlt")
+    ep.run_crawl(spark, _params(cow, "cow"))
+    ep.run_crawl(spark, _params(dlt, "delta", compact_every=3))
+    assert _log(spark, dlt) == _log(spark, cow)
+    assert _final(spark, dlt) == _final(spark, cow)
+    assert _metrics(spark, dlt) == _metrics(spark, cow)
+
+    # write volume: delta commits carry ONLY touched rows
+    def rows_written(job, sub):
+        paths = glob.glob(f"{job}/epoch=0000[1-7]/{sub}")
+        return sum(spark.read.parquet(p).count() for p in paths)
+
+    cow_rows = rows_written(cow, "frontier")
+    delta_rows = rows_written(dlt, "delta")
+    assert delta_rows < cow_rows / 2, (delta_rows, cow_rows)
+
+    # compaction snapshots exist exactly at the configured cadence
+    snaps = sorted(
+        int(os.path.basename(os.path.dirname(pth)).split("=")[1])
+        for pth in glob.glob(f"{dlt}/epoch=*/frontier")
+    )
+    assert snaps == [0, 3, 6], snaps
+
+
+def test_delta_resume_mid_chain(spark, universe, tmp_path):
+    """Kill after a committed delta epoch (no compaction yet) → rerun
+    resumes and converges to the same final state as an uninterrupted
+    run."""
+    full, part = str(tmp_path / "full"), str(tmp_path / "part")
+    ep.run_crawl(spark, _params(full, "delta", compact_every=3))
+
+    p_short = _params(part, "delta", compact_every=3)
+    p_short.max_epochs = 4  # stops mid delta-chain (last compaction at 3)
+    ep.run_crawl(spark, p_short)
+    p_rest = _params(part, "delta", compact_every=3)
+    ep.run_crawl(spark, p_rest)  # resume=True continues from epoch 4
+    assert _log(spark, part) == _log(spark, full)
+    assert _final(spark, part) == _final(spark, full)
+
+
+def test_delta_torn_write_ignored(spark, universe, tmp_path):
+    """An uncommitted (torn) delta epoch is discarded on resume."""
+    job = str(tmp_path / "torn")
+    p = _params(job, "delta", compact_every=3)
+    p.max_epochs = 3
+    ep.run_crawl(spark, p)
+    # fake a torn epoch 4: delta dir present, no _COMMIT
+    torn = f"{job}/epoch=00004/delta"
+    os.makedirs(torn)
+    spark.read.parquet(f"{job}/epoch=00003/delta").limit(3).write.mode(
+        "overwrite"
+    ).parquet(torn)
+    p2 = _params(job, "delta", compact_every=3)
+    out = ep.run_crawl(spark, p2)
+    ref_job = str(tmp_path / "ref")
+    ep.run_crawl(spark, _params(ref_job, "delta", compact_every=3))
+    assert _log(spark, job) == _log(spark, ref_job)
