@@ -149,14 +149,15 @@ if mode == "kernel":
     raise SystemExit(0)
 
 
-job = f"/tmp/sct_bench_job_c{{cores}}_{{mode}}"
+job = f"/tmp/sct_bench_job_c{{cores}}_{{mode}}_{commit_mode}"
 p = ep.CrawlParams(
     images_path=f"{{universe}}/images.parquet",
     seeds_path=f"{{universe}}/seeds.parquet",
     domains_path=f"{{universe}}/domains.parquet",
     robots_path=f"{{universe}}/robots.parquet",
     job_dir=job, n_images=n_images,
-    seller_cap=500000, asin_cap=500000, max_epochs=30, use_bloom=True)
+    seller_cap=500000, asin_cap=500000, max_epochs=30, use_bloom=True,
+    commit_mode={commit_mode!r})
 t0 = time.perf_counter()
 summary = ep.run_crawl(spark, p, resume=False)
 wall = time.perf_counter() - t0
@@ -187,7 +188,10 @@ spark.stop()
 """
 
 
-def run_level(cores: int, mode: str, n_images: int, budget_scale: float) -> dict:
+def run_level(
+    cores: int, mode: str, n_images: int, budget_scale: float,
+    commit_mode: str = "cow",
+) -> dict:
     code = _WORKER.format(
         repo=REPO,
         cores=cores,
@@ -195,6 +199,7 @@ def run_level(cores: int, mode: str, n_images: int, budget_scale: float) -> dict
         n_images=n_images,
         universe=UNIVERSE,
         budget_scale=budget_scale,
+        commit_mode=commit_mode,
     )
     t0 = time.time()
     out = subprocess.run(
@@ -229,14 +234,15 @@ def main() -> None:
         help="payload-light universe (sched/kernel modes only — no real image bytes)",
     )
     ap.add_argument("--tag", default="", help="suffix for the output json filename")
+    ap.add_argument("--commit-mode", choices=("cow", "delta"), default="cow")
     args = ap.parse_args()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     pregen(args.n_images, args.budget_scale, args.lite)
     modes = ["sched", "decode"] if args.mode == "both" else [args.mode]
     for mode in modes:
-        lo = run_level(args.low, mode, args.n_images, args.budget_scale)
-        hi = run_level(args.high, mode, args.n_images, args.budget_scale)
+        lo = run_level(args.low, mode, args.n_images, args.budget_scale, args.commit_mode)
+        hi = run_level(args.high, mode, args.n_images, args.budget_scale, args.commit_mode)
         assert lo["fetched"] == hi["fetched"], (
             f"determinism violation: {lo['fetched']} != {hi['fetched']}"
         )

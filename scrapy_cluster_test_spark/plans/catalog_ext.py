@@ -700,3 +700,75 @@ def mws_pricing_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("product_id"))
     reports = synth_pricing_report(o, "product_id")
     return parse_competitive_pricing(reports, "report_json", "product_id")
+
+
+@query(
+    "api_pagination_envelope",
+    """
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_acctbal >= 1000 AND c_acctbal <= 9000
+        AND c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    pages AS (SELECT CAST(unnest(generate_series(1, 8)) AS BIGINT) AS page),
+    env AS (
+      SELECT p.page, t.total,
+             greatest(least(20, t.total - (p.page - 1) * 20), 0) AS count_on_page
+      FROM pages p CROSS JOIN tot t),
+    env2 AS (
+      SELECT page, total, CAST(count_on_page AS BIGINT) AS count_on_page,
+             CAST(CASE WHEN count_on_page > 0 THEN ceil(CAST(total AS DOUBLE) / 20)
+                       ELSE 1 END AS BIGINT) AS total_pages
+      FROM env)
+    SELECT page, count_on_page, total, total_pages,
+           CASE WHEN page - 1 > 0 AND page - 1 < total_pages
+                THEN 'page=' || CAST(page - 1 AS VARCHAR) || '&per_page=20' END AS prev_query,
+           CASE WHEN page + 1 >= 2 AND page + 1 <= total_pages
+                THEN 'page=' || CAST(page + 1 AS VARCHAR) || '&per_page=20' END AS next_query
+    FROM env2
+    """,
+)
+def api_pagination_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-API pagination envelope: total_pages + prev/next URL query
+    strings with the reference's exact boundary rules (api/app/main.py:
+    181-184,527 — prev iff 0 < page-1 < total_pages, next iff
+    2 ≤ page+1 ≤ total_pages, total_pages floors to 1 on an empty page).
+    The page row-count is derived arithmetically from ONE total-count
+    aggregate — no per-page scan."""
+    per = 20
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+        & (F.col("c_acctbal") >= 1000)
+        & (F.col("c_acctbal") <= 9000)
+        & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    tot = c.agg(F.count("*").alias("total"))
+    pages = spark.range(1, 9).select(F.col("id").alias("page"))
+    env = pages.crossJoin(F.broadcast(tot)).withColumn(
+        "count_on_page",
+        F.greatest(
+            F.least(F.lit(per).cast("long"), F.col("total") - (F.col("page") - 1) * per),
+            F.lit(0).cast("long"),
+        ),
+    )
+    env = env.withColumn(
+        "total_pages",
+        F.when(
+            F.col("count_on_page") > 0,
+            F.ceil(F.col("total").cast("double") / per),
+        ).otherwise(1).cast("long"),
+    )
+    q = lambda n: F.concat(F.lit("page="), n.cast("string"), F.lit("&per_page=20"))
+    return env.select(
+        "page",
+        "count_on_page",
+        "total",
+        "total_pages",
+        F.when(
+            ((F.col("page") - 1) > 0) & ((F.col("page") - 1) < F.col("total_pages")),
+            q(F.col("page") - 1),
+        ).alias("prev_query"),
+        F.when(
+            ((F.col("page") + 1) >= 2) & ((F.col("page") + 1) <= F.col("total_pages")),
+            q(F.col("page") + 1),
+        ).alias("next_query"),
+    )
