@@ -159,3 +159,79 @@ def parse_product_struct(pages: DataFrame, text_col: str = "page_text") -> DataF
         feedbacks.alias("feedbacks"),
     )
     return pages.withColumn("product", product)
+
+
+def parse_seller_struct(
+    pages: DataFrame, url_col: str = "url", text_col: str = "page_text"
+) -> DataFrame:
+    """Seller-profile page → the ~30-field typed struct of the reference's
+    get_seller_data (spiders/amazon_merchant.py:281-545), all native:
+
+    * URL query params (seller/asin/isAmazonFulfilled/marketplaceID) via
+      regexp — the parse_qs probes (amazon_merchant.py:283-296);
+    * POSITIONAL address split: segments[-4:-1] are city/state/zip and
+      [-1] is country, with Python's negative-indexing semantics preserved
+      (a 3-segment list has NO city but [-3] still resolves — guarded
+      size checks reproduce the IndexError→None vs valid-negative-index
+      distinction, amazon_merchant.py:320-345);
+    * the 4×4 feedback-rating table (30d/90d/12m/lifetime ×
+      positive/neutral/negative/count, amazon_merchant.py:358-470) as 16
+      typed columns;
+    * seller_rating truncated at 'out' (amazon_merchant.py:350-352),
+      review count digits-only (354-357).
+    """
+    u, t = F.col(url_col), F.col(text_col)
+
+    def qparam(name: str) -> F.Column:
+        return F.nullif(F.regexp_extract(u, rf"[?&]{name}=([^&#]+)", 1), F.lit(""))
+
+    # nullif: a page with NO address block yields null segments → every
+    # address field null (the reference's business_addresses=None branch),
+    # never ''-typed ghosts
+    segs = F.split(
+        F.nullif(F.regexp_extract(t, r"ADDR\[([^\]]*)\]", 1), F.lit("")), r"\|"
+    )
+    n = F.size(segs)
+
+    def seg_from_end(off: int) -> F.Column:  # [-off] with IndexError→None
+        return F.when(n >= off, F.element_at(segs, -off))
+
+    def rt(tag: str, pos: int) -> F.Column:
+        return F.regexp_extract(
+            t, rf"RT{tag}\[([0-9]+)\|([0-9]+)\|([0-9]+)\|([0-9]+)\]", pos
+        ).try_cast("int")
+
+    rt_fields = [
+        rt(tag, pos).alias(f"{pol}_{suffix}")
+        for tag, suffix in (("30", "30_days"), ("90", "90_days"),
+                            ("12M", "12_month"), ("L", "lifetime"))
+        for pos, pol in ((1, "positive"), (2, "neutral"), (3, "negative"),
+                         (4, "count"))
+    ]
+    seller = F.struct(
+        qparam("seller").alias("seller_id"),
+        qparam("asin").alias("asin"),
+        qparam("isAmazonFulfilled").alias("fba"),
+        qparam("marketplaceID").alias("marketplace_id"),
+        F.nullif(F.regexp_extract(t, r"SN\[([^\]]*)\]", 1), F.lit("")).alias("seller_name"),
+        F.nullif(F.regexp_extract(t, r"LOGO\[([^\]]*)\]", 1), F.lit("")).alias("seller_logo"),
+        F.nullif(F.regexp_extract(t, r"BN\[([^\]]*)\]", 1), F.lit("")).alias("business_name"),
+        # ' '.join(segments[:-4]) — '' when ≤4 segments, like the reference
+        F.array_join(
+            F.slice(segs, 1, F.greatest(n - 4, F.lit(0))), " "
+        ).alias("address"),
+        seg_from_end(4).alias("city"),
+        seg_from_end(3).alias("state"),
+        seg_from_end(2).alias("zip_code"),
+        seg_from_end(1).alias("country"),
+        F.nullif(F.regexp_extract(t, r"PH\[([^\]]*)\]", 1), F.lit("")).alias("phone"),
+        F.regexp_extract(t, r"SR\[([0-9.]+) out of", 1).try_cast("double").alias(
+            "seller_rating"
+        ),
+        F.nullif(
+            F.regexp_replace(F.regexp_extract(t, r"RR\[([^\]]*)\]", 1), r"[^0-9]", ""),
+            F.lit(""),
+        ).try_cast("int").alias("review_ratings"),
+        *rt_fields,
+    )
+    return pages.withColumn("seller", seller)

@@ -772,3 +772,111 @@ def api_pagination_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             q(F.col("page") + 1),
         ).alias("next_query"),
     )
+
+
+def _synth_seller_page(k: F.Column) -> tuple[F.Column, F.Column]:
+    """(url, page_text) for the seller-struct extractor — all-integer
+    string building, mirrored arithmetically by the oracle."""
+    def s(c):
+        return c.cast("long").cast("string")
+
+    st = F.element_at(
+        F.array(F.lit("CA"), F.lit("NY"), F.lit("TX"), F.lit("WA")),
+        (k % 4).cast("int") + 1,
+    )
+    zipc = s(k % 89999 + 10000)
+    city = F.concat(F.lit("City"), s(k % 31))
+    lead1 = F.concat(F.lit("Unit "), s(k % 9))
+    lead2 = F.concat(F.lit("Floor "), s(k % 5))
+    addr = F.when(
+        k % 11 == 0, F.concat_ws("|", st, zipc, F.lit("US"))  # 3 segs: no city
+    ).otherwise(
+        F.when(k % 3 == 1, F.concat_ws("|", lead1, city, st, zipc, F.lit("US")))
+        .when(k % 3 == 2, F.concat_ws("|", lead1, lead2, city, st, zipc, F.lit("US")))
+        .otherwise(F.concat_ws("|", city, st, zipc, F.lit("US")))
+    )
+    rating = F.concat(s(F.floor((k % 45 + 5) / 10)), F.lit("."), s((k % 45 + 5) % 10))
+
+    def rt(tag, o):
+        return F.concat(
+            F.lit(f"RT{tag}["), s((k + o) % 101), F.lit("|"), s((k + o + 7) % 35),
+            F.lit("|"), s((k + o + 13) % 20), F.lit("|"), s((k + o) % 997), F.lit("] "),
+        )
+
+    url = F.concat(
+        F.lit("https://www.example.com/sp?seller=A"), s(k % 5000),
+        F.when(k % 4 != 0, F.concat(F.lit("&asin=B"), s(k % 900))).otherwise(""),
+        F.lit("&isAmazonFulfilled="), s(k % 2), F.lit("&marketplaceID=M1"),
+    )
+    text = F.concat(
+        F.lit("SN[Seller "), s(k % 1000), F.lit("] "),
+        F.when(k % 9 != 0, F.concat(F.lit("LOGO[https://img/"), s(k % 33), F.lit(".png] "))).otherwise(""),
+        F.when(k % 7 != 0, F.concat(F.lit("BN[Biz "), s(k % 77), F.lit("] "))).otherwise(""),
+        F.lit("ADDR["), addr, F.lit("] "),
+        F.when(
+            k % 6 != 0,
+            F.concat(F.lit("PH[+1-"), s(k % 900 + 100), F.lit("-"), s(k % 9000 + 1000), F.lit("] ")),
+        ).otherwise(""),
+        F.lit("SR["), rating, F.lit(" out of 5 stars] "),
+        F.lit("RR["), s(k % 5000), F.lit(" ratings] "),
+        rt("30", 0), rt("90", 1), rt("12M", 2), rt("L", 3),
+    )
+    return url, text
+
+
+_SELLER_RT_SQL = ",\n           ".join(
+    f"CAST((c_custkey + {o}{extra}) % {m} AS INT) AS {pol}_{suffix}"
+    for o, suffix in ((0, "30_days"), (1, "90_days"), (2, "12_month"), (3, "lifetime"))
+    for extra, m, pol in (
+        ("", 101, "positive"),
+        (" + 7", 35, "neutral"),
+        (" + 13", 20, "negative"),
+        ("", 997, "count"),
+    )
+)
+
+
+@query(
+    "extract_seller_struct",
+    f"""
+    SELECT c_custkey,
+           'A' || CAST(c_custkey % 5000 AS VARCHAR) AS seller_id,
+           CASE WHEN c_custkey % 4 <> 0 THEN 'B' || CAST(c_custkey % 900 AS VARCHAR) END AS asin,
+           CAST(c_custkey % 2 AS VARCHAR) AS fba,
+           'M1' AS marketplace_id,
+           'Seller ' || CAST(c_custkey % 1000 AS VARCHAR) AS seller_name,
+           CASE WHEN c_custkey % 9 <> 0
+                THEN 'https://img/' || CAST(c_custkey % 33 AS VARCHAR) || '.png' END AS seller_logo,
+           CASE WHEN c_custkey % 7 <> 0 THEN 'Biz ' || CAST(c_custkey % 77 AS VARCHAR) END AS business_name,
+           CASE WHEN c_custkey % 11 = 0 OR c_custkey % 3 = 0 THEN ''
+                WHEN c_custkey % 3 = 1 THEN 'Unit ' || CAST(c_custkey % 9 AS VARCHAR)
+                ELSE 'Unit ' || CAST(c_custkey % 9 AS VARCHAR) || ' Floor ' || CAST(c_custkey % 5 AS VARCHAR)
+           END AS address,
+           CASE WHEN c_custkey % 11 <> 0 THEN 'City' || CAST(c_custkey % 31 AS VARCHAR) END AS city,
+           (['CA','NY','TX','WA'])[CAST(c_custkey % 4 AS INT) + 1] AS state,
+           CAST(c_custkey % 89999 + 10000 AS VARCHAR) AS zip_code,
+           'US' AS country,
+           CASE WHEN c_custkey % 6 <> 0
+                THEN '+1-' || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+           END AS phone,
+           CAST(c_custkey % 45 + 5 AS DOUBLE) / 10 AS seller_rating,
+           CAST(c_custkey % 5000 AS INT) AS review_ratings,
+           {_SELLER_RT_SQL}
+    FROM customer
+    """,
+)
+def extract_seller_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 parity: the reference's ~40-field get_seller_data struct
+    (amazon_merchant.py:281-545) — URL query-param probes, POSITIONAL
+    address split with Python negative-index semantics, 4×4 feedback
+    rating table, rating/count coercions — extracted from synthesized
+    pages with native expressions only. The ORACLE computes every field
+    arithmetically from the same integers, so the driver compare proves
+    the synth→parse round trip is lossless."""
+    from ..operators.extract import parse_seller_struct
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    url, text = _synth_seller_page(F.col("c_custkey"))
+    pages = c.withColumn("url", url).withColumn("page_text", text)
+    parsed = parse_seller_struct(pages)
+    return parsed.select("c_custkey", "seller.*")

@@ -67,3 +67,42 @@ def test_price_requires_amazon_selling(spark):
     r = _parse(spark, "some offer $9.99 | 3 customer reviews |")
     assert r.amazon_price is None
     assert r.customer_reviews == 3
+
+
+def test_seller_struct_golden(spark):
+    from scrapy_cluster_test_spark.operators.extract import parse_seller_struct
+
+    url = ("https://www.example.com/sp?seller=A123&asin=B7"
+           "&isAmazonFulfilled=1&marketplaceID=M1")
+    text = ("SN[Seller 9] LOGO[https://img/3.png] BN[Biz 5] "
+            "ADDR[Unit 2|Floor 1|City8|TX|73301|US] PH[+1-555-1234] "
+            "SR[4.5 out of 5 stars] RR[1,234 ratings] "
+            "RT30[97|12|3|451] RT90[95|10|5|902] RT12M[94|9|4|1800] RTL[93|8|6|5000] ")
+    df = spark.createDataFrame([(url, text)], "url string, page_text string")
+    r = parse_seller_struct(df).select("seller.*").collect()[0]
+    assert (r.seller_id, r.asin, r.fba, r.marketplace_id) == ("A123", "B7", "1", "M1")
+    assert r.seller_name == "Seller 9" and r.business_name == "Biz 5"
+    # positional split: [-4:-1] = city/state/zip, [-1] = country, rest joined
+    assert (r.city, r.state, r.zip_code, r.country) == ("City8", "TX", "73301", "US")
+    assert r.address == "Unit 2 Floor 1"
+    assert r.seller_rating == 4.5
+    assert r.review_ratings == 1234  # digits-only, comma stripped
+    assert (r.positive_30_days, r.neutral_30_days, r.negative_30_days, r.count_30_days) == (97, 12, 3, 451)
+    assert (r.positive_lifetime, r.count_lifetime) == (93, 5000)
+
+
+def test_seller_struct_three_segment_address(spark):
+    """Python negative-index semantics: a 3-segment address has NO city
+    ([-4] raises → None) but [-3]/[-2]/[-1] still resolve
+    (amazon_merchant.py:320-345)."""
+    from scrapy_cluster_test_spark.operators.extract import parse_seller_struct
+
+    df = spark.createDataFrame(
+        [("https://x/sp?seller=A1", "SN[S] ADDR[NY|10001|US] ")],
+        "url string, page_text string",
+    )
+    r = parse_seller_struct(df).select("seller.*").collect()[0]
+    assert r.city is None
+    assert (r.state, r.zip_code, r.country) == ("NY", "10001", "US")
+    assert r.address == ""  # ' '.join([]) — empty, not None
+    assert r.asin is None and r.phone is None
