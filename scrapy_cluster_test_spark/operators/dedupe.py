@@ -89,15 +89,27 @@ def lsh_candidate_pairs(
     shuffle-hash; hot buckets are bounded because a bucket of size s
     yields s² pairs — monitor via bucket-size metrics at 100 TB."""
     sig = minhash_signatures(df, id_col, text_col, bands)
-    pairs = None
-    for b in range(bands):
-        a = sig.select(F.col(id_col).alias("id_a"), F.col(f"h{b}").alias("bucket"))
-        bb = sig.select(F.col(id_col).alias("id_b"), F.col(f"h{b}").alias("bucket"))
-        p = a.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    # ONE self-join on the exploded (band, hash) key instead of `bands`
+    # separate joins: the band id is salted into the join key, so buckets
+    # from different bands never collide and a single shuffle covers all
+    # bands (r1 shape was 4 joins + union — 4x the shuffles for the same
+    # result set).
+    long = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}|"), F.col(f"h{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = long.select(F.col(id_col).alias("id_a"), "bucket")
+    bb = long.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def _word_hash32(col: F.Column) -> F.Column:

@@ -106,3 +106,22 @@ def test_seller_struct_three_segment_address(spark):
     assert (r.state, r.zip_code, r.country) == ("NY", "10001", "US")
     assert r.address == ""  # ' '.join([]) — empty, not None
     assert r.asin is None and r.phone is None
+
+
+def test_offer_rows_native_equals_udf(spark):
+    """The native hot path and the pandas-UDF UDTF form must produce the
+    identical row set (the UDF form is the pattern-reference for parsers
+    regexps can't express)."""
+    from scrapy_cluster_test_spark.operators.extract import (
+        extract_offer_rows,
+        extract_offer_rows_udf,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "caption 7: tok12  tok40 x7y"), ("d2", "no colon stream tok21"),
+         ("d3", "caption 9:"), ("d4", "")],
+        "image_id string, caption string",
+    )
+    nat = sorted(map(tuple, extract_offer_rows(docs).collect()))
+    udf = sorted(map(tuple, extract_offer_rows_udf(docs).collect()))
+    assert nat == udf
