@@ -33,37 +33,30 @@ def main() -> None:
         t0 = time.perf_counter()
         entry.builder(spark, sf_dir).count()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        timings[name] = round(dt, 2)
         total += dt
 
     out = {
         "metric": "catalog_suite_wall_seconds",
-        "value": round(total, 3),
+        "value": round(total, 2),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "cores": cores,
     }
-    # attach the latest crawl-engine scaling evidence (bench_scaling.py)
+    # Headline crawl-engine numbers (full detail: BENCH/BASELINE.md +
+    # BENCH/scaling_*.json, produced by bench_scaling.py). Kept to a few
+    # scalars so the whole output stays ONE short parseable JSON line —
+    # the driver only retains a bounded tail of stdout.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    crawl = {}
-    if os.path.isdir(bench_dir):
-        for name in sorted(os.listdir(bench_dir)):
-            if name.startswith("scaling_") and name.endswith(".json"):
-                try:
-                    with open(os.path.join(bench_dir, name)) as f:
-                        r = json.load(f)
-                    crawl[name[len("scaling_"):-len(".json")]] = {
-                        "low_urls_per_sec": r["low"]["urls_per_sec"],
-                        "high_urls_per_sec": r["high"]["urls_per_sec"],
-                        "cores": [r["low"]["cores"], r["high"]["cores"]],
-                        "efficiency": r["scaling_efficiency"],
-                    }
-                except Exception:
-                    pass
-    if crawl:
-        out["crawl_scaling"] = crawl
-    print(json.dumps(out))
+    try:
+        with open(os.path.join(bench_dir, "scaling_kernel_3m_2v8.json")) as f:
+            r = json.load(f)
+        out["urls_per_sec"] = round(r["high"]["urls_per_sec"], 1)
+        out["scaling_eff_n_to_4n"] = round(r["scaling_efficiency"], 2)
+    except Exception:
+        pass
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -184,6 +184,38 @@ def md5_plane_weights(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     return P
 
 
+def md5_planes_df(spark, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+    """The same w(t,p,j) as ``md5_plane_weights`` but derived NATIVELY in
+    Spark SQL (conv/substring/md5 — byte-for-byte the DuckDB oracle's
+    formula) and assembled into a (t, p, plane: array<double>) relation
+    of n_tables*n_planes rows. No Python RDD, no literal arrays in the
+    query plan: the relation is computed JVM-side and broadcast (~tens of
+    KB). array_sort on struct(j, w) pins element order before the
+    collect_list, so the plane arrays are deterministic."""
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "t", "p", "j")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000001
+    ) / 500000.0 - 1.0
+    # one flat range → (t, p, j) by integer div/mod: no crossJoin, so no
+    # CartesianProduct node anywhere in downstream plans
+    return (
+        spark.range(n_tables * n_planes * dim)
+        .select(
+            F.expr(f"id div {n_planes * dim}").alias("t"),
+            F.expr(f"(id div {dim}) % {n_planes}").alias("p"),
+            F.expr(f"id % {dim} + 1").alias("j"),
+        )
+        .select("t", "p", "j", w.alias("w"))
+        .groupBy("t", "p")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "w"))).alias("_jw"))
+        .select(
+            "t", "p", F.transform("_jw", lambda s: s["w"]).alias("plane")
+        )
+    )
+
+
 def neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -205,45 +237,82 @@ def neardup_pairs_lsh(
     Parameters are an honest recall/cost dial, measured not assumed
     (tests/test_similarity.py): on the driver's structureless corpus the
     defaults give recall 0.93 vs brute force at sf0.1; on clustered real
-    corpora (planted-dup test) the same operator prunes >90% of pairs."""
+    corpora (planted-dup test) the same operator prunes >90% of pairs.
+
+    Plan shape: the hyperplanes live in a tiny (n_tables*n_planes)-row
+    broadcast relation with one array column — NOT inlined as literals
+    (the literal form put 7,680 constants + 120 nested folds in one
+    expression tree; analysis/codegen alone cost ~10s regardless of data
+    size). Vectors explode ×(n_tables*n_planes), broadcast-equi-join the
+    plane rows on (t, p), one ordered fold per row, then an integer bit
+    sum per (vector, table) — order-independent because the bits are
+    ints, while every float fold stays in element order for cross-engine
+    bit-identity. Candidate pairs are deduped as bare ids BEFORE the
+    embeddings are re-joined for the exact-cosine verify, so the widest
+    rows never pass through the distinct shuffle."""
+    spark = vectors.sparkSession
     dim = len(vectors.select(emb_col).first()[0])
-    P = md5_plane_weights(dim, n_planes, n_tables)
+    planes = md5_planes_df(spark, dim, n_planes, n_tables)
+    n_codes = n_tables * n_planes
 
-    def code(t: int) -> F.Column:
-        bits = F.lit(t << n_planes).cast("long")
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(float(w)) for w in P[t, p]])
-            bits = bits + F.when(
-                dot_cols(F.col(emb_col), plane) > 0, F.lit(1 << p).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return bits
-
-    bucketed = vectors.select(
-        F.col(id_col),
-        F.col(emb_col),
-        norm_col(F.col(emb_col)).alias("nr"),
-        F.explode(F.array(*[code(t) for t in range(n_tables)])).alias("bucket"),
+    v = vectors.select(F.col(id_col), F.col(emb_col))
+    fan = v.select(
+        id_col,
+        emb_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_codes - 1))).alias("_tp"),
+    ).select(
+        id_col,
+        emb_col,
+        (F.col("_tp") / n_planes).cast("long").alias("t"),
+        (F.col("_tp") % n_planes).cast("long").alias("p"),
     )
-    a = bucketed.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(emb_col).alias("emb_a"),
-        F.col("nr").alias("norm_a"),
-        "bucket",
+    dots = fan.join(F.broadcast(planes), ["t", "p"]).select(
+        id_col, "t", "p", dot_cols(F.col(emb_col), F.col("plane")).alias("d")
     )
-    b = bucketed.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(emb_col).alias("emb_b"),
-        F.col("nr").alias("norm_b"),
-        "bucket",
+    codes = (
+        dots.groupBy(id_col, "t")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bits")
+        )
+        .select(
+            F.col(id_col),
+            (F.shiftleft(F.col("t").cast("long"), n_planes) + F.col("bits")).alias(
+                "bucket"
+            ),
+        )
     )
     cand = (
-        a.join(b, "bucket")
+        codes.select(F.col(id_col).alias("vec_a"), "bucket")
+        .join(codes.select(F.col(id_col).alias("vec_b"), "bucket"), "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b", "norm_a", "norm_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vn = vectors.select(
+        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
+    )
+    pair = cand.join(
+        vn.select(
+            F.col(id_col).alias("vec_a"),
+            F.col(emb_col).alias("emb_a"),
+            F.col("nr").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        vn.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(emb_col).alias("emb_b"),
+            F.col("nr").alias("norm_b"),
+        ),
+        "vec_b",
     )
     cosine = dot_cols("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
-    return cand.filter(cosine >= threshold).select("vec_a", "vec_b")
+    return pair.filter(cosine >= threshold).select("vec_a", "vec_b")
 
 
 def neardup_oracle_sql(

@@ -170,22 +170,23 @@ def json_props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY c.c_acctbal DESC, c.c_custkey) AS BIGINT) AS rnk
       FROM customer c WHERE c.c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE'))
     SELECT r.c_custkey, r.category, r.rnk,
-           CASE WHEN r.rnk <= 150 THEN 100.0 - l.slope * r.rnk
-                ELSE exp(l.a) * pow(CAST(r.rnk AS DOUBLE), l.b) END AS est_sales
+           round(CASE WHEN r.rnk <= 150 THEN 100.0 - l.slope * r.rnk
+                      ELSE exp(l.a) * pow(CAST(r.rnk AS DOUBLE), l.b) END,
+                 6) AS est_sales
     FROM ranked r JOIN lookup l USING (category)
     """,
 )
 def sales_estimation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sales-estimation model: broadcast lookup join + linear/power-law
     branch (core/sellgo_core/utils/sales_estimator.py:17-33 → SURVEY
-    J3/F19). exp/pow of identical doubles — bit-stable cross-engine."""
-    lookup = spark.createDataFrame(
-        [
-            ("BUILDING", 2.0, 5.0, -0.6),
-            ("MACHINERY", 1.5, 4.5, -0.5),
-            ("AUTOMOBILE", 1.0, 4.0, -0.4),
-        ],
-        "category string, slope double, a double, b double",
+    J3/F19). pow with fractional exponent is NOT correctly rounded by
+    IEEE — JVM Math.pow and DuckDB libm disagree in the last ulp on some
+    inputs — so the published column is rounded to 6 decimals on both
+    sides (the raw doubles stay full-precision inside the branch)."""
+    lookup = spark.sql(
+        "SELECT * FROM VALUES ('BUILDING', 2.0D, 5.0D, -0.6D),"
+        "('MACHINERY', 1.5D, 4.5D, -0.5D),('AUTOMOBILE', 1.0D, 4.0D, -0.4D)"
+        " AS lookup(category, slope, a, b)"
     )
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
@@ -200,7 +201,7 @@ def sales_estimation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") <= 150, 100.0 - F.col("slope") * F.col("rnk")
     ).otherwise(F.exp(F.col("a")) * F.pow(F.col("rnk").cast("double"), F.col("b")))
     return ranked.join(F.broadcast(lookup), "category").select(
-        "c_custkey", "category", "rnk", est.alias("est_sales")
+        "c_custkey", "category", "rnk", F.round(est, 6).alias("est_sales")
     )
 
 
@@ -643,10 +644,13 @@ def state_code_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce precedence — no list walk, no UDF."""
     from ..operators.lookup import resolve_state
 
-    us_states = spark.createDataFrame(
-        [("CA", "California"), ("NY", "New York"), ("TX", "Texas"),
-         ("WA", "Washington"), ("FL", "Florida")],
-        "code string, state_name string",
+    # VALUES → LocalRelation: evaluated JVM-side with no Python-RDD
+    # round trip (createDataFrame(list) planned as Scan ExistingRDD and
+    # spun up Python workers just to serve 5 rows into each broadcast)
+    us_states = spark.sql(
+        "SELECT * FROM VALUES ('CA','California'),('NY','New York'),"
+        "('TX','Texas'),('WA','Washington'),('FL','Florida')"
+        " AS us_states(code, state_name)"
     )
     c = _t(spark, sf_dir, "customer")
     rows = c.select(
