@@ -262,3 +262,105 @@ def parse_seller_struct(
         *rt_fields,
     )
     return pages.withColumn("seller", seller)
+
+
+# ---------------------------------------------------------------------------
+# Inventory-page extractor family (SURVEY X7-X10)
+# ---------------------------------------------------------------------------
+
+INVENTORY_JOB_FIELDS = ("jobid", "project", "spider")
+
+
+def parse_inventory(
+    pages: DataFrame,
+    text_col: str = "page_text",
+    jobid: str = "job-0",
+    project: str = "project",
+    spider: str = "inventory",
+) -> DataFrame:
+    """X7-X10 parity over synthetic inventory-page text, all NATIVE regexp:
+
+    * X10 ``get_products``: the card splitter — ``CARD[...]`` segments
+      play the reference's product-card divs
+      (amazon_merchant_inventory.py:150-191); ``regexp_extract_all`` +
+      a per-element ``transform`` lambda keep the whole fan-out JVM-side.
+    * X10/X8 ``get_inventory_count``: the result-info bar parse with the
+      reference's three phrasings ('of over 2,000 results',
+      'of 345 results', bare '345 results') — all collapse to the digits
+      of the token before 'results' (amazon_merchant.py:208-256).
+    * X8 ``get_inventory_info``: {inventory_count, brands[], asins[]} —
+      brands from ``BRAND(...)`` refinement tokens.
+    * X7 ``get_asins_from_inventory`` / X9 asin rule: the asin is the
+      href slice after 'dp/' up to the LAST slash (``rindex('/')``) —
+      a single greedy ``dp/(.+)/`` capture reproduces it exactly.
+    * X9 ``get_product_data``: the 20-field per-card struct (asin, name,
+      absolute url, prices, badges, reviews, stars float with the
+      ' out of 5 stars' suffix stripped, subscribe&save / variation
+      flags, category, fba/fbm from the prime icon, marketplace + job
+      context fields), defaults matching the reference
+      (amazon_merchant_inventory.py:64-148).
+
+    Returns the input plus ``inventory_count int``, ``brands
+    array<string>`` and ``products array<struct>`` columns; explode
+    ``products`` for the one-row-per-card table-function form.
+    """
+    t = F.col(text_col)
+    count = (
+        F.nullif(
+            F.regexp_replace(
+                F.regexp_extract(t, r"([0-9][0-9,]*) results", 1), ",", ""
+            ),
+            F.lit(""),
+        )
+        .try_cast("int")
+    )
+    brands = F.expr(rf"regexp_extract_all({text_col}, 'BRAND\\(([^)]*)\\)', 1)")
+    # cards delimit with braces because card bodies contain PRICE[...]-style
+    # bracket tokens — [^}] scans to the card's own terminator only
+    cards = F.expr(rf"regexp_extract_all({text_col}, 'CARD\\{{([^}}]*)\\}}', 1)")
+
+    def card_struct(c: F.Column) -> F.Column:
+        href = F.regexp_extract(c, r"href=([^ ]+)", 1)
+        stars = F.regexp_extract(c, r"([0-9]\.[0-9]) out of 5 stars", 1)
+        is_fba = c.contains("PRIME")
+        return F.struct(
+            F.lit(jobid).alias("jobid"),
+            F.lit(project).alias("project"),
+            F.lit(spider).alias("spider"),
+            F.size(cards).cast("int").alias("total_expected_len"),
+            F.size(cards).cast("int").alias("scraped_items_len"),
+            F.regexp_extract(href, r"dp/(.+)/", 1).alias("asin"),
+            F.nullif(F.regexp_extract(c, r"name=([^ ]+)", 1), F.lit("")).alias(
+                "product_name"
+            ),
+            F.concat(F.lit("https://www.amazon.com"), href).alias("product_url"),
+            F.nullif(F.regexp_extract(c, r"PRICE\[([^\]]*)\]", 1), F.lit("")).alias(
+                "current_price"
+            ),
+            F.nullif(F.regexp_extract(c, r"WAS\[([^\]]*)\]", 1), F.lit("")).alias(
+                "original_price"
+            ),
+            c.contains("Best Seller").alias("best_seller"),
+            c.contains("Amazon Choice").alias("amazon_choice"),
+            F.nullif(F.regexp_extract(c, r"reviews=(\d+)", 1), F.lit("")).alias(
+                "reviews_count"
+            ),
+            stars.try_cast("double").alias("review_stars"),
+            c.contains("Save more with Subscribe & Save").alias(
+                "save_and_subscribe"
+            ),
+            c.contains("Price may vary by").alias("variation"),
+            F.nullif(F.regexp_extract(c, r"cat=([^ \]]+)", 1), F.lit("")).alias(
+                "category"
+            ),
+            is_fba.alias("fba"),
+            (~is_fba).alias("fbm"),
+            F.lit("ATVPDKIKX0DER").alias("marketplace_id"),
+        )
+
+    return pages.select(
+        "*",
+        F.coalesce(count, F.lit(0)).alias("inventory_count"),
+        brands.alias("brands"),
+        F.transform(cards, card_struct).alias("products"),
+    )

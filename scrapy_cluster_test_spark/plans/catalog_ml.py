@@ -439,3 +439,200 @@ def extract_product_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fb_raw).cast("int").alias("n_feedback"),
         F.array_join(fb_raw, ";").alias("feedback_summary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7-X10: inventory-page card extraction
+# ---------------------------------------------------------------------------
+
+def _inv_card_sql(i: int) -> str:
+    """One synthetic product card (SQL side), present when doc_id%4 >= i."""
+    p = f"((doc_id * 13 + {i * 7}) % 10000 + 99)"
+    return f"""CASE WHEN doc_id % 4 >= {i} THEN 'CARD{{'
+      || CASE WHEN (doc_id + {i}) % 2 = 0 THEN 'PRIME ' ELSE '' END
+      || 'href=/prod-' || CAST(doc_id AS VARCHAR) || '/dp/B'
+      || lpad(CAST(doc_id * 7 + {i} AS VARCHAR), 9, '0') || '/ref=sr_{i}'
+      || ' name=item-' || CAST(doc_id AS VARCHAR) || '-{i}'
+      || ' PRICE[$' || CAST({p} // 100 AS VARCHAR) || '.'
+      || lpad(CAST({p} % 100 AS VARCHAR), 2, '0') || ']'
+      || CASE WHEN (doc_id + {i}) % 3 = 0
+           THEN ' WAS[$' || CAST(({p} + 500) // 100 AS VARCHAR) || '.'
+                || lpad(CAST(({p} + 500) % 100 AS VARCHAR), 2, '0') || ']' ELSE '' END
+      || CASE WHEN (doc_id + {i}) % 4 < 3
+           THEN ' ' || CAST(((doc_id + {i}) % 41 + 10) // 10 AS VARCHAR) || '.'
+                || CAST(((doc_id + {i}) % 41 + 10) % 10 AS VARCHAR) || ' out of 5 stars'
+           ELSE '' END
+      || ' reviews=' || CAST((doc_id * 3 + {i}) % 5000 AS VARCHAR)
+      || CASE WHEN (doc_id + {i}) % 7 = 0 THEN ' Best Seller'
+              WHEN (doc_id + {i}) % 7 = 1 THEN ' Amazon Choice' ELSE '' END
+      || CASE WHEN (doc_id + {i}) % 5 = 0 THEN ' Save more with Subscribe & Save' ELSE '' END
+      || CASE WHEN (doc_id + {i}) % 6 = 0 THEN ' Price may vary by' ELSE '' END
+      || CASE WHEN (doc_id + {i}) % 5 IN (1, 2, 3)
+           THEN ' cat=cat' || CAST((doc_id + {i}) % 8 AS VARCHAR) ELSE '' END
+      || '}} ' ELSE '' END"""
+
+
+_INV_TEXT_SQL = f"""
+    inv AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN '1-16 of over ' || CAST((doc_id % 9000 + 1000) // 1000 AS VARCHAR)
+                  || ',' || lpad(CAST((doc_id % 9000 + 1000) % 1000 AS VARCHAR), 3, '0')
+                  || ' results | '
+             WHEN doc_id % 3 = 1
+             THEN '1-16 of ' || CAST(doc_id % 997 AS VARCHAR) || ' results | '
+             ELSE CAST(doc_id % 450 + 1 AS VARCHAR) || ' results | ' END
+        || CASE WHEN doc_id % 3 >= 1
+             THEN 'BRAND(brand' || CAST((doc_id + 1) % 10 AS VARCHAR) || ') ' ELSE '' END
+        || CASE WHEN doc_id % 3 >= 2
+             THEN 'BRAND(brand' || CAST((doc_id + 2) % 10 AS VARCHAR) || ') ' ELSE '' END
+        || {_inv_card_sql(1)}
+        || {_inv_card_sql(2)}
+        || {_inv_card_sql(3)}
+        AS page_text
+      FROM documents)
+"""
+
+
+def _synth_inventory_text(k: F.Column) -> F.Column:
+    """Spark twin of _INV_TEXT_SQL — all-integer string building."""
+    def s(c):
+        return c.cast("long").cast("string")
+
+    def card(i: int) -> F.Column:
+        di = k + i
+        p = (k * 13 + i * 7) % 10000 + 99
+        q = p + 500
+        st = di % 41 + 10
+        body = F.concat(
+            F.lit("CARD{"),
+            F.when(di % 2 == 0, F.lit("PRIME ")).otherwise(""),
+            F.lit("href=/prod-"), s(k), F.lit("/dp/B"),
+            F.lpad(s(k * 7 + i), 9, "0"), F.lit(f"/ref=sr_{i}"),
+            F.lit(" name=item-"), s(k), F.lit(f"-{i}"),
+            F.lit(" PRICE[$"), s(F.floor(p / 100)), F.lit("."),
+            F.lpad(s(p % 100), 2, "0"), F.lit("]"),
+            F.when(
+                di % 3 == 0,
+                F.concat(F.lit(" WAS[$"), s(F.floor(q / 100)), F.lit("."),
+                         F.lpad(s(q % 100), 2, "0"), F.lit("]")),
+            ).otherwise(""),
+            F.when(
+                di % 4 < 3,
+                F.concat(F.lit(" "), s(F.floor(st / 10)), F.lit("."), s(st % 10),
+                         F.lit(" out of 5 stars")),
+            ).otherwise(""),
+            F.lit(" reviews="), s((k * 3 + i) % 5000),
+            F.when(di % 7 == 0, F.lit(" Best Seller"))
+             .when(di % 7 == 1, F.lit(" Amazon Choice")).otherwise(""),
+            F.when(di % 5 == 0, F.lit(" Save more with Subscribe & Save")).otherwise(""),
+            F.when(di % 6 == 0, F.lit(" Price may vary by")).otherwise(""),
+            F.when((di % 5).isin(1, 2, 3),
+                   F.concat(F.lit(" cat=cat"), s(di % 8))).otherwise(""),
+            F.lit("} "),
+        )
+        return F.when(k % 4 >= i, body).otherwise(F.lit(""))
+
+    over_n = k % 9000 + 1000
+    bar = (
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("1-16 of over "), s(F.floor(over_n / 1000)), F.lit(","),
+                     F.lpad(s(over_n % 1000), 3, "0"), F.lit(" results | ")),
+        )
+        .when(k % 3 == 1, F.concat(F.lit("1-16 of "), s(k % 997), F.lit(" results | ")))
+        .otherwise(F.concat(s(k % 450 + 1), F.lit(" results | ")))
+    )
+    return F.concat(
+        bar,
+        F.when(k % 3 >= 1, F.concat(F.lit("BRAND(brand"), s((k + 1) % 10), F.lit(") "))).otherwise(""),
+        F.when(k % 3 >= 2, F.concat(F.lit("BRAND(brand"), s((k + 2) % 10), F.lit(") "))).otherwise(""),
+        card(1), card(2), card(3),
+    )
+
+
+_INV_NULLSAFE = "CASE WHEN card IS NULL THEN NULL ELSE {} END"
+
+
+@query(
+    "extract_inventory_cards",
+    f"""
+    WITH {_INV_TEXT_SQL.strip()},
+    pg AS (
+      SELECT doc_id,
+             coalesce(try_cast(replace(regexp_extract(page_text, '([0-9][0-9,]*) results', 1), ',', '') AS INT), 0) AS inventory_count,
+             coalesce(array_to_string(regexp_extract_all(page_text, 'BRAND\\(([^)]*)\\)', 1), ';'), '') AS brands,
+             regexp_extract_all(page_text, 'CARD\\{{([^}}]*)\\}}', 1) AS cards
+      FROM inv),
+    ex AS (
+      SELECT doc_id, inventory_count, brands,
+             CAST(len(cards) AS INT) AS n_cards,
+             CASE WHEN len(cards) = 0 THEN NULL ELSE CAST(i AS INT) END AS card_idx,
+             cards[CAST(i AS INT)] AS card
+      FROM pg, LATERAL unnest(generate_series(1, greatest(len(cards), 1))) AS t(i))
+    SELECT doc_id, inventory_count, brands, n_cards, card_idx,
+           regexp_extract(regexp_extract(card, 'href=([^ ]+)', 1), 'dp/(.+)/', 1) AS asin,
+           nullif(regexp_extract(card, 'name=([^ ]+)', 1), '') AS product_name,
+           CASE WHEN card IS NULL THEN NULL
+                ELSE 'https://www.amazon.com' || regexp_extract(card, 'href=([^ ]+)', 1) END AS product_url,
+           nullif(regexp_extract(card, 'PRICE\\[([^\\]]*)\\]', 1), '') AS current_price,
+           nullif(regexp_extract(card, 'WAS\\[([^\\]]*)\\]', 1), '') AS original_price,
+           coalesce(strpos(card, 'Best Seller') > 0, FALSE) AS best_seller,
+           coalesce(strpos(card, 'Amazon Choice') > 0, FALSE) AS amazon_choice,
+           nullif(regexp_extract(card, 'reviews=([0-9]+)', 1), '') AS reviews_count,
+           try_cast(regexp_extract(card, '([0-9]\\.[0-9]) out of 5 stars', 1) AS DOUBLE) AS review_stars,
+           coalesce(strpos(card, 'Save more with Subscribe & Save') > 0, FALSE) AS save_and_subscribe,
+           coalesce(strpos(card, 'Price may vary by') > 0, FALSE) AS variation,
+           nullif(regexp_extract(card, 'cat=([^ \\]]+)', 1), '') AS category,
+           coalesce(strpos(card, 'PRIME') > 0, FALSE) AS fba,
+           coalesce(NOT (strpos(card, 'PRIME') > 0), FALSE) AS fbm,
+           {_INV_NULLSAFE.format("'ATVPDKIKX0DER'")} AS marketplace_id,
+           {_INV_NULLSAFE.format("'job-0'")} AS jobid,
+           {_INV_NULLSAFE.format("n_cards")} AS total_expected_len
+    FROM ex
+    """,
+)
+def extract_inventory_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7-X10 parity: inventory-page card splitter + result-bar count +
+    brand refinements + the 20-field per-card product struct
+    (amazon_merchant.py:186-256; amazon_merchant_inventory.py:64-191),
+    extracted with NATIVE regexp over deterministically synthesized page
+    text. posexplode_outer keeps card-less pages (count/brands still
+    asserted) with null card fields, mirroring the oracle's padded
+    lateral unnest."""
+    from ..operators.extract import parse_inventory
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pages = d.withColumn("page_text", _synth_inventory_text(F.col("doc_id")))
+    inv = parse_inventory(pages, "page_text", jobid="job-0")
+    ex = inv.select(
+        "doc_id",
+        "inventory_count",
+        F.array_join("brands", ";").alias("brands"),
+        F.size("products").cast("int").alias("n_cards"),
+        F.posexplode_outer("products").alias("pos", "p"),
+    )
+    return ex.select(
+        "doc_id",
+        "inventory_count",
+        "brands",
+        "n_cards",
+        (F.col("pos") + 1).cast("int").alias("card_idx"),
+        F.col("p.asin").alias("asin"),
+        F.col("p.product_name").alias("product_name"),
+        F.col("p.product_url").alias("product_url"),
+        F.col("p.current_price").alias("current_price"),
+        F.col("p.original_price").alias("original_price"),
+        F.coalesce(F.col("p.best_seller"), F.lit(False)).alias("best_seller"),
+        F.coalesce(F.col("p.amazon_choice"), F.lit(False)).alias("amazon_choice"),
+        F.col("p.reviews_count").alias("reviews_count"),
+        F.col("p.review_stars").alias("review_stars"),
+        F.coalesce(F.col("p.save_and_subscribe"), F.lit(False)).alias("save_and_subscribe"),
+        F.coalesce(F.col("p.variation"), F.lit(False)).alias("variation"),
+        F.col("p.category").alias("category"),
+        F.coalesce(F.col("p.fba"), F.lit(False)).alias("fba"),
+        F.coalesce(F.col("p.fbm"), F.lit(False)).alias("fbm"),
+        F.col("p.marketplace_id").alias("marketplace_id"),
+        F.col("p.jobid").alias("jobid"),
+        F.col("p.total_expected_len").alias("total_expected_len"),
+    )

@@ -125,3 +125,71 @@ def test_offer_rows_native_equals_udf(spark):
     nat = sorted(map(tuple, extract_offer_rows(docs).collect()))
     udf = sorted(map(tuple, extract_offer_rows_udf(docs).collect()))
     assert nat == udf
+
+
+# ---------------------------------------------------------------------------
+# X7-X10 inventory extractor golden fixtures
+# ---------------------------------------------------------------------------
+
+from scrapy_cluster_test_spark.operators.extract import parse_inventory  # noqa: E402
+
+INV_GOLDEN = (
+    "1-16 of over 2,000 results | BRAND(acme) BRAND(apex) "
+    "CARD{PRIME href=/widget/dp/B000012345/ref=sr_1 name=widget "
+    "PRICE[$12.99] WAS[$19.99] 4.3 out of 5 stars reviews=88 Best Seller "
+    "Save more with Subscribe & Save cat=tools} "
+    "CARD{href=/gizmo-set/dp/B000099999/extra/ref=sr_2 name=gizmo "
+    "PRICE[$5.00] reviews=3 Amazon Choice Price may vary by} "
+)
+
+
+def _inv(spark, text):
+    df = spark.createDataFrame([(text,)], "page_text string")
+    return parse_inventory(df).collect()[0]
+
+
+def test_inventory_golden(spark):
+    r = _inv(spark, INV_GOLDEN)
+    # X8/X10 result-info bar: digits of the token before 'results'
+    assert r.inventory_count == 2000
+    assert r.brands == ["acme", "apex"]
+    assert len(r.products) == 2  # X10 card splitter
+    a, b = r.products
+    assert a.asin == "B000012345"
+    # X7/X9 asin rule is rindex('/'): an extra path segment after the
+    # asin stays IN the slice, exactly like the reference
+    # (amazon_merchant.py:196-204)
+    assert b.asin == "B000099999/extra"
+    assert a.product_name == "widget"
+    assert a.product_url == "https://www.amazon.com/widget/dp/B000012345/ref=sr_1"
+    assert a.current_price == "$12.99"
+    assert a.original_price == "$19.99"
+    assert b.original_price is None
+    assert a.best_seller is True and b.best_seller is False
+    assert a.amazon_choice is False and b.amazon_choice is True
+    assert a.reviews_count == "88"
+    assert a.review_stars == 4.3 and b.review_stars is None
+    assert a.save_and_subscribe is True and b.save_and_subscribe is False
+    assert a.variation is False and b.variation is True
+    assert a.category == "tools" and b.category is None
+    assert (a.fba, a.fbm) == (True, False)  # prime icon → FBA
+    assert (b.fba, b.fbm) == (False, True)
+    assert a.marketplace_id == "ATVPDKIKX0DER"
+    assert a.jobid == "job-0" and a.total_expected_len == 2
+
+
+def test_inventory_count_phrasings(spark):
+    # the reference's three result-bar branches (amazon_merchant.py:208-240)
+    for text, want in [
+        ("1-16 of over 1,234 results | ", 1234),
+        ("1-16 of 345 results | ", 345),
+        ("77 results | ", 77),
+        ("no results bar at all", 0),
+    ]:
+        assert _inv(spark, text).inventory_count == want, text
+
+
+def test_inventory_empty_page(spark):
+    r = _inv(spark, "")
+    assert r.inventory_count == 0
+    assert r.brands == [] and r.products == []
