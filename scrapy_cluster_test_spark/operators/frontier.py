@@ -79,10 +79,23 @@ def distributed_rank(df: DataFrame, order_cols: list, out_col: str) -> DataFrame
     for any total order (the range boundaries — sampled, and possibly
     AQE-coalesced — only decide which task computes which slice, never the
     rank itself), so crawl logs stay byte-identical (test_crawl_equivalence).
+
+    The range layout MUST be materialized exactly once before both
+    consumers read it: ``part`` feeds the counts subtree AND the ranked
+    subtree, and without the eager checkpoint each subtree plans its own
+    range Exchange whose boundaries come from independent random
+    sampling. When the two layouts disagree, the inner join on ``_pid``
+    silently drops every row whose partition id the counts side never
+    produced — nondeterministic row LOSS that grows with the partition
+    count (observed: 140k children shrank to 21k at local[32]).
+    ``localCheckpoint(eager=True)`` pins one layout and one lineage for
+    both readers; at scale it is a single cached pass over the batch
+    being ranked, no extra shuffle.
     """
     part = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
+    part = part.localCheckpoint(eager=True)
     counts = part.groupBy("_pid").agg(F.count("*").alias("_c"))
     earlier = (
         counts.alias("a")

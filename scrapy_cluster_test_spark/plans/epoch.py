@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,7 +237,10 @@ def run_epoch(
     # persist: join_payload's bucket-set collect and the join itself both
     # consume popped — without this the pop window would run twice
     popped = popped.persist()
+    _t = time.perf_counter()
+    _ph: dict[str, float] = {}
     payload = fetchsim.join_payload(popped, images)
+    _ph["pop+buckets"] = time.perf_counter() - _t
     fetched = fetchsim.fetch_statuses(payload).persist()
 
     ed = _epoch_dir(p.job_dir, epoch)
@@ -285,7 +289,9 @@ def run_epoch(
         # O(touched) commit: only the rows this epoch changed hit disk;
         # a full compacted snapshot every compact_every epochs bounds the
         # delta chain the read path overlays.
+        _t = time.perf_counter()
         delta_rows.write.parquet(os.path.join(ed, "delta"))
+        _ph["write"] = time.perf_counter() - _t
         if epoch % p.compact_every == 0:
             _read_frontier_state(spark, p.job_dir, epoch, with_audit=True).write.parquet(
                 os.path.join(ed, "frontier")
@@ -295,7 +301,9 @@ def run_epoch(
         touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
         untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
         next_fr = _null_audit(untouched).select(*SNAPSHOT_COLS).unionByName(delta_rows)
+        _t = time.perf_counter()
         next_fr.write.parquet(os.path.join(ed, "frontier"))
+        _ph["write"] = time.perf_counter() - _t
         stats_src = spark.read.parquet(os.path.join(ed, "frontier"))
     fetched.unpersist()
     popped.unpersist()
@@ -310,12 +318,15 @@ def run_epoch(
     # cost is O(touched) too.
     this_epoch = (F.col("epoch") == epoch)
     fetched_now = this_epoch & F.col("seq").isNotNull()
+    _t = time.perf_counter()
     lineage = (
         stats_src.filter(fetched_now)
         .groupBy(F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).alias("b"))
         .agg(F.count("*").alias("n"))
         .collect()
     )
+    _ph["lineage"] = time.perf_counter() - _t
+    _t = time.perf_counter()
     agg = stats_src.agg(
         F.sum(fetched_now.cast("long")).alias("n_popped"),
         F.sum(
@@ -337,6 +348,7 @@ def run_epoch(
             for sc in (200, 404, 429, 503, 520)
         ],
     ).collect()[0]
+    _ph["agg"] = time.perf_counter() - _t
     n_popped = int(agg["n_popped"] or 0)
     if p.commit_mode == "delta":
         assert prev_state is not None, "delta mode needs the previous commit record"
@@ -366,9 +378,17 @@ def run_epoch(
         (epoch, f"lineage/bucket/{int(r['b'])}", int(r["n"]))
         for r in sorted(lineage, key=lambda r: int(r["b"]))
     ]
+    _t = time.perf_counter()
     spark.createDataFrame(metrics, "epoch int, metric_key string, n long").coalesce(
         1
     ).write.parquet(os.path.join(ed, "metrics"))
+    _ph["metrics"] = time.perf_counter() - _t
+    if os.environ.get("SCT_EPOCH_TIMING") == "1":
+        print(
+            f"EPOCH_TIMING {epoch} "
+            + " ".join(f"{k}={v:.2f}" for k, v in _ph.items()),
+            flush=True,
+        )
 
     rec = {
         "epoch": epoch,
