@@ -147,7 +147,29 @@ def build_bloom_table(
     of filter state (the whole-dict broadcast this replaces shipped all
     shards to every executor: VERDICT r1 scale-killer #5)."""
     n = expected if expected is not None else fps_df.count()
-    m_bits = max(1024, 1 << int(np.ceil(np.log2(max(1, n // max(1, n_shards)) * bits_per_key))))
+    m_bits = bloom_m_bits(n, n_shards, bits_per_key)
+    return build_bloom_table_fixed(fps_df, m_bits, k, n_shards), m_bits
+
+
+def bloom_m_bits(expected_total: int, n_shards: int = 16, bits_per_key: int = 10) -> int:
+    """Per-shard bitmap size for an expected TOTAL key count — fixed up
+    front so the table can grow incrementally without ever resizing."""
+    return max(
+        1024,
+        1
+        << int(
+            np.ceil(
+                np.log2(max(1, expected_total // max(1, n_shards)) * bits_per_key)
+            )
+        ),
+    )
+
+
+def build_bloom_table_fixed(
+    fps_df: DataFrame, m_bits: int, k: int = 5, n_shards: int = 16
+) -> DataFrame:
+    """build_bloom_table with caller-fixed m_bits — the incremental
+    lifecycle's bootstrap (size once from expected totals, never rebuild)."""
 
     def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -155,13 +177,51 @@ def build_bloom_table(
         _set_bits(bitmap, _probe_positions(fps, m_bits, k))
         return pd.DataFrame({"shard": [int(key[0])], "bitmap": [bitmap.tobytes()]})
 
-    shards = (
+    return (
         fps_df.select("url_fp")
         .withColumn("shard", F.pmod(F.col("url_fp"), F.lit(n_shards)).cast("int"))
         .groupBy("shard")
         .applyInPandas(per_shard, schema="shard int, bitmap binary")
     )
-    return shards, m_bits
+
+
+def bloom_or_new(
+    prev_bitmaps: DataFrame,
+    new_fps: DataFrame,
+    m_bits: int,
+    k: int = 5,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The broadcast-plus-DELTA maintenance step (north rule): OR only the
+    NEW fps into last epoch's bitmap table — O(new) work per epoch instead
+    of an O(frontier) rebuild. Cogroup pairs each shard's new fps with its
+    previous bitmap; shards with no new fps pass through unchanged, shards
+    with no previous bitmap start from zeros. A Bloom filter never clears
+    bits, so set-union of key sets == bitwise OR of bitmaps — the
+    incremental table is bit-identical to a full rebuild at the same
+    m_bits (asserted in tests/test_seen_bloom.py)."""
+
+    def merge(fps: pd.DataFrame, bm: pd.DataFrame) -> pd.DataFrame:
+        if bm.empty:
+            shard = int(fps["shard"].iloc[0])
+            bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        else:
+            shard = int(bm["shard"].iloc[0])
+            bitmap = np.frombuffer(bm["bitmap"].iloc[0], dtype=np.uint8).copy()
+        if not fps.empty:
+            _set_bits(
+                bitmap, _probe_positions(fps["url_fp"].to_numpy(np.int64), m_bits, k)
+            )
+        return pd.DataFrame({"shard": [shard], "bitmap": [bitmap.tobytes()]})
+
+    tagged = new_fps.select("url_fp").withColumn(
+        "shard", F.pmod(F.col("url_fp"), F.lit(n_shards)).cast("int")
+    )
+    return (
+        tagged.groupBy("shard")
+        .cogroup(prev_bitmaps.groupBy("shard"))
+        .applyInPandas(merge, schema="shard int, bitmap binary")
+    )
 
 
 def mark_probably_seen_routed(

@@ -63,6 +63,12 @@ class CrawlParams:
     # anti-join's probe side — mandatory at 10^10, optional here.
     use_bloom: bool = False
     bloom_shards: int = 16
+    # Fixed Bloom capacity (total keys) for the INCREMENTAL bitmap table:
+    # sized once up front (never resized), each epoch ORs only the new fps
+    # into last epoch's table — the north rule's broadcast-plus-delta
+    # lifecycle. None → 2·n_images + 1000 (every image can contribute one
+    # seller and one asin URL, plus seeds).
+    bloom_expected_total: int | None = None
     # Salted repartition of the popped batch before fetch (Q15 hot-domain
     # skew defense). None = let Catalyst place the work (fine when popped
     # batches are small); set to ~cluster cores at scale.
@@ -84,6 +90,13 @@ class CrawlParams:
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
     return os.path.join(job_dir, f"epoch={epoch:05d}")
+
+
+def _bloom_m_bits(p: CrawlParams) -> int:
+    from ..operators import seen as seen_ops
+
+    n = p.bloom_expected_total or (2 * p.n_images + 1000)
+    return seen_ops.bloom_m_bits(n, p.bloom_shards)
 
 
 def _commit_path(job_dir: str, epoch: int) -> str:
@@ -135,6 +148,14 @@ def bootstrap(spark: SparkSession, p: CrawlParams) -> None:
     if os.path.isdir(ed):
         shutil.rmtree(ed)
     _null_audit(fr).write.parquet(os.path.join(ed, "frontier"))
+    if p.use_bloom:
+        from ..operators import seen as seen_ops
+
+        seen_ops.build_bloom_table_fixed(
+            spark.read.parquet(os.path.join(ed, "frontier")).select("url_fp"),
+            _bloom_m_bits(p),
+            n_shards=p.bloom_shards,
+        ).write.parquet(os.path.join(ed, "bloom"))
     pending = spark.read.parquet(os.path.join(ed, "frontier")).count()
     with open(_commit_path(p.job_dir, 0), "w") as f:
         json.dump(
@@ -229,7 +250,10 @@ def run_epoch(
 
     pending = fr.filter(F.col("status") == "pending")
     allowed, blocked = fr_ops.robots_split(pending, robots)
+    _t = time.perf_counter()
+    _ph: dict[str, float] = {}
     popped = fr_ops.pop_batch(allowed, domains, p.seller_cap, p.asin_cap, seq_base)
+    _ph["pop_rank"] = time.perf_counter() - _t
     if p.fetch_partitions:
         popped = fr_ops.salted_repartition(
             popped, p.fetch_partitions, p.salt_buckets
@@ -238,7 +262,6 @@ def run_epoch(
     # consume popped — without this the pop window would run twice
     popped = popped.persist()
     _t = time.perf_counter()
-    _ph: dict[str, float] = {}
     payload = fetchsim.join_payload(popped, images)
     _ph["pop+buckets"] = time.perf_counter() - _t
     fetched = fetchsim.fetch_statuses(payload).persist()
@@ -248,26 +271,45 @@ def run_epoch(
         shutil.rmtree(ed)  # uncommitted partial epoch → overwrite
 
     # ---- frontier transition ------------------------------------------
-    children = fetchsim.discover_children(fetched, p.n_images)
+    # persist: the candidate-fps subtree and the thinned semi-join both
+    # consume children — without this the mapInPandas fan-out runs twice
+    children = fetchsim.discover_children(fetched, p.n_images).persist()
     frontier_fps = fr.select("url_fp")
     if p.use_bloom:
         from ..operators import seen as seen_ops
 
-        shard_bitmaps, m_bits = seen_ops.build_bloom_table(
-            frontier_fps, n_shards=p.bloom_shards, expected=expected_frontier
-        )
+        # INCREMENTAL bitmap table: read last epoch's committed table
+        # (O(new) maintenance, written below) instead of rebuilding from
+        # the full frontier every epoch (O(frontier) — measured ~5s/epoch
+        # at a 300k frontier, and the whole frontier scan at 10^10).
+        m_bits = _bloom_m_bits(p)
+        prev_bloom = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "bloom")
+        if os.path.isdir(prev_bloom):
+            shard_bitmaps = spark.read.parquet(prev_bloom)
+        else:  # pre-incremental job dir → one full rebuild at fixed size
+            shard_bitmaps = seen_ops.build_bloom_table_fixed(
+                frontier_fps, m_bits, n_shards=p.bloom_shards
+            )
         # first-wins dedup within the epoch must still run (it's not a
         # seen-set concern); enqueue_children handles it, so hand it the
         # bloom-thinned candidate set with an already-resolved seen check.
         # Shard-ROUTED probe: each task ships exactly one shard bitmap —
-        # nothing is collected to the driver or broadcast whole.
-        thinned = seen_ops.filter_new_routed(
-            children, frontier_fps, shard_bitmaps, m_bits,
+        # nothing is collected to the driver or broadcast whole. Only the
+        # DISTINCT 8-byte fps travel through the Arrow/Python probe; the
+        # wide child rows (url/domain strings) stay JVM-side and rejoin
+        # via a semi join on url_fp — whose shuffle the first-wins window
+        # in enqueue_children reuses (same partitioning key).
+        cand_fps = children.select("url_fp").distinct()
+        new_fps = seen_ops.filter_new_routed(
+            cand_fps, frontier_fps, shard_bitmaps, m_bits,
             n_shards=p.bloom_shards,
         )
+        thinned = children.join(new_fps, "url_fp", "left_semi")
+        _t = time.perf_counter()
         new_rows = fr_ops.enqueue_children(
             thinned, frontier_fps.limit(0), epoch
         ).select(*FRONTIER_COLS)
+        _ph["enqueue_rank"] = time.perf_counter() - _t
     else:
         new_rows = fr_ops.enqueue_children(children, frontier_fps, epoch).select(
             *FRONTIER_COLS
@@ -305,8 +347,18 @@ def run_epoch(
         next_fr.write.parquet(os.path.join(ed, "frontier"))
         _ph["write"] = time.perf_counter() - _t
         stats_src = spark.read.parquet(os.path.join(ed, "frontier"))
+    if p.use_bloom:
+        # broadcast-plus-delta maintenance: OR only this epoch's new fps
+        # into the table and commit it with the epoch
+        seen_ops.bloom_or_new(
+            shard_bitmaps,
+            new_rows.select("url_fp"),
+            m_bits,
+            n_shards=p.bloom_shards,
+        ).write.parquet(os.path.join(ed, "bloom"))
     fetched.unpersist()
     popped.unpersist()
+    children.unpersist()
 
     # ---- metrics (A3/A4 counter tree) — ONE aggregation over what was
     # written (full snapshot in cow mode, the touched rows in delta mode)
@@ -379,9 +431,16 @@ def run_epoch(
         for r in sorted(lineage, key=lambda r: int(r["b"]))
     ]
     _t = time.perf_counter()
-    spark.createDataFrame(metrics, "epoch int, metric_key string, n long").coalesce(
-        1
-    ).write.parquet(os.path.join(ed, "metrics"))
+    # SQL VALUES → LocalRelation: createDataFrame(list) planned a Python
+    # RDD with defaultParallelism slices, spawning one Python worker per
+    # core to serve ~20 driver-local rows (6s/epoch at local[32])
+    values = ",".join(
+        f"({e},'{k}',{int(n)})" for e, k, n in metrics
+    )
+    spark.sql(
+        "SELECT CAST(epoch AS INT) epoch, metric_key, CAST(n AS BIGINT) n "
+        f"FROM VALUES {values} AS t(epoch, metric_key, n)"
+    ).coalesce(1).write.parquet(os.path.join(ed, "metrics"))
     _ph["metrics"] = time.perf_counter() - _t
     if os.environ.get("SCT_EPOCH_TIMING") == "1":
         print(
