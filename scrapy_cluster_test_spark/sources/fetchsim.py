@@ -174,3 +174,29 @@ def discover_children(fetched: DataFrame, n_images: int) -> DataFrame:
         "parent_seq",
         "child_k",
     )
+
+
+def with_parent_context(
+    child_rows: DataFrame,
+    parent_log: DataFrame,
+    ctx_cols: tuple[str, ...] = ("domain", "queue_kind", "status_code", "image_id", "seq"),
+) -> DataFrame:
+    """Chained-fetch context (SURVEY Q12): the reference forwards the FULL
+    parsed parent row into the child request as ``cb_kwargs`` so the next
+    callback can merge onto it (amazon_merchant.py:547-572 — the seller
+    struct rides into parse_inventory_info). Carrying a wide struct inside
+    every frontier row would bloat 10^10 rows with data that is already
+    durable, so the Spark-first form reconstructs the context ON DEMAND:
+    children keep only ``parent_fp`` (8 bytes), and this equi-join against
+    the parent's crawl-log row rebuilds exactly what cb_kwargs carried —
+    one shuffle-hash join keyed by url_fp, prunable to the parent's epoch.
+
+    ``parent_log`` is any frame keyed by ``url_fp`` (e.g.
+    epoch.read_crawl_log output). Parent columns arrive as one ``ctx``
+    struct; children with no logged parent (seeds) get ctx = NULL.
+    """
+    parents = parent_log.select(
+        F.col("url_fp").alias("parent_fp"),
+        F.struct(*[F.col(c).alias(c) for c in ctx_cols]).alias("ctx"),
+    )
+    return child_rows.join(parents, "parent_fp", "left")

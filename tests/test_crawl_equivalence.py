@@ -151,3 +151,40 @@ def test_partitioning_independence(spark, crawl):
     eng_a = _engine_log(spark, JOB_A)
     assert eng_c == eng_a[: len(eng_c)]
     assert len(eng_c) > 0
+
+
+def test_child_rows_reconstruct_parent_context(spark, crawl):
+    """Q12: every epoch-N child row joined via with_parent_context gets
+    exactly its parent's crawl-log row (the cb_kwargs the reference
+    forwards in-flight), and the parent was fetched in an earlier epoch."""
+    from scrapy_cluster_test_spark.sources import fetchsim
+
+    log = ep.read_crawl_log(spark, JOB_A)
+    final = ep.read_final_frontier(spark, JOB_A)
+    children = final.filter(F.col("parent_fp").isNotNull()).select(
+        "url_fp", "parent_fp", "epoch"
+    )
+    ctxed = fetchsim.with_parent_context(
+        children, log, ctx_cols=("domain", "seq", "status_code")
+    )
+    n_children = children.count()
+    assert n_children > 0
+    # every child's parent exists in the log
+    assert ctxed.filter(F.col("ctx").isNull()).count() == 0
+    # the reconstructed ctx matches the parent row field-for-field and the
+    # parent's fetch preceded the child's enqueue epoch
+    joined = ctxed.join(
+        log.select(
+            F.col("url_fp").alias("parent_fp"),
+            F.col("domain").alias("p_domain"),
+            F.col("seq").alias("p_seq"),
+            F.col("epoch").alias("p_epoch"),
+        ),
+        "parent_fp",
+    )
+    bad = joined.filter(
+        (F.col("ctx.domain") != F.col("p_domain"))
+        | (F.col("ctx.seq") != F.col("p_seq"))
+        | (F.col("p_epoch") > F.col("epoch"))
+    ).count()
+    assert bad == 0
