@@ -86,6 +86,10 @@ class CrawlParams:
     #             byte-identical across modes (tests/test_delta_mode.py).
     commit_mode: str = "cow"
     compact_every: int = 8
+    # S8 proxy-token lease: when set, run_crawl leases one token per
+    # provider from this parquet config table at start (kafka_monitor/
+    # main.py:29-58) and releases them on exit (pipelines.py:391-403).
+    proxies_path: str | None = None
 
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
@@ -465,26 +469,36 @@ def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
     """Run (or resume) the crawl to termination (Q8) or the epoch cap.
 
     Returns {"epochs": E, "total_fetched": n, ...} summary."""
-    last = last_committed_epoch(p.job_dir) if resume else None
-    if last is None:
-        if os.path.isdir(p.job_dir):
-            shutil.rmtree(p.job_dir)
-        os.makedirs(p.job_dir, exist_ok=True)
-        bootstrap(spark, p)
-        last = 0
-    state = read_commit(p.job_dir, last)
-    epoch = last
-    while state["pending"] > 0 and epoch < p.max_epochs:
-        epoch += 1
-        state = run_epoch(
-            spark, p, epoch, state["seq_base"], state.get("n_frontier"),
-            prev_state=state,
-        )
+    tokens: dict[str, str] = {}
+    if p.proxies_path:
+        from ..operators import proxies as proxy_ops
+
+        tokens = proxy_ops.lease_tokens(spark, p.proxies_path)
+    try:
+        last = last_committed_epoch(p.job_dir) if resume else None
+        if last is None:
+            if os.path.isdir(p.job_dir):
+                shutil.rmtree(p.job_dir)
+            os.makedirs(p.job_dir, exist_ok=True)
+            bootstrap(spark, p)
+            last = 0
+        state = read_commit(p.job_dir, last)
+        epoch = last
+        while state["pending"] > 0 and epoch < p.max_epochs:
+            epoch += 1
+            state = run_epoch(
+                spark, p, epoch, state["seq_base"], state.get("n_frontier"),
+                prev_state=state,
+            )
+    finally:
+        if tokens:
+            proxy_ops.release_tokens(spark, p.proxies_path, tokens)
     return {
         "epochs": epoch,
         "total_fetched": state["seq_base"],
         "pending": state["pending"],
         "done": state["pending"] == 0,
+        **({"proxy_tokens": tokens} if tokens else {}),
     }
 
 
