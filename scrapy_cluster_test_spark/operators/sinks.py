@@ -59,10 +59,43 @@ def export_jsonl_gz(
 
 def write_callback_summary(path: str, summary: dict) -> None:
     """Final-result callback payload (K8), written as a local JSON file —
-    the POST-to-CALLBACK_URL analog."""
+    the durable half of the POST-to-CALLBACK_URL pair."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
+
+
+def post_callback(
+    callback_url: str,
+    job_id: str,
+    scraped_items_len: int,
+    project: str = "scrapy_cluster_test_spark",
+    spider: str = "crawl",
+    extra: dict | None = None,
+    timeout_s: float = 10.0,
+) -> int:
+    """K8 HTTP callback: POST the reference's exact result envelope
+    {project, spider, job_id, data: {scraped_items_len, ...}} to
+    CALLBACK_URL (pipelines.py:219-252). stdlib urllib — no extra deps;
+    returns the HTTP status. Raises on connection/HTTP errors so the job
+    driver can decide whether a missed notification is fatal (the
+    reference lets requests.post raise the same way)."""
+    import urllib.request
+
+    data = {
+        "project": project,
+        "spider": spider,
+        "job_id": job_id,
+        "data": {"scraped_items_len": int(scraped_items_len), **(extra or {})},
+    }
+    req = urllib.request.Request(
+        callback_url,
+        data=json.dumps(data, sort_keys=True).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        return resp.status
 
 
 def archive_payloads(fetched_images: DataFrame, path: str) -> None:

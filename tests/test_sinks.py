@@ -49,3 +49,47 @@ def test_callback_summary(tmp_path):
     sinks.write_callback_summary(p, {"status": "finished", "epochs": 3})
     with open(p) as f:
         assert json.load(f)["status"] == "finished"
+
+
+def test_post_callback_real_http():
+    """K8: the callback is a real HTTP POST of the reference's envelope
+    (pipelines.py:219-252), exercised against a local HTTP server."""
+    import http.server
+    import json as _json
+    import threading
+
+    from scrapy_cluster_test_spark.operators import sinks
+
+    got = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            got["body"] = _json.loads(self.rfile.read(n))
+            got["ctype"] = self.headers["Content-Type"]
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status = sinks.post_callback(
+            f"http://127.0.0.1:{srv.server_port}/callback",
+            job_id="job-42",
+            scraped_items_len=17,
+            extra={"s3_links": None},
+        )
+    finally:
+        srv.shutdown()
+    assert status == 200
+    assert got["ctype"] == "application/json"
+    assert got["body"] == {
+        "project": "scrapy_cluster_test_spark",
+        "spider": "crawl",
+        "job_id": "job-42",
+        "data": {"scraped_items_len": 17, "s3_links": None},
+    }
