@@ -77,8 +77,8 @@ def test_routed_probe_equals_exact(spark):
         (F.xxhash64(F.col("id").cast("string"))).alias("url_fp"),
         F.col("id").alias("payload"),
     )
-    shard_bitmaps, m_bits = seen_ops.build_bloom_table(frontier, n_shards=8)
-    routed = seen_ops.filter_new_routed(
+    shard_bitmaps, m_bits = seen.build_bloom_table(frontier, n_shards=8)
+    routed = seen.filter_new_routed(
         cands, frontier, shard_bitmaps, m_bits, n_shards=8
     )
     exact = cands.join(frontier, "url_fp", "left_anti")
@@ -94,3 +94,28 @@ def test_routed_probe_equals_exact(spark):
     probe_part = plan[: plan.index("CoGroup") + 200] if "CoGroup" in plan else plan
     assert "FlatMapCoGroupsInPandas" in plan, plan[:1500]
     assert "Broadcast" not in probe_part, probe_part
+
+
+def test_incremental_or_equals_full_rebuild(spark):
+    """bloom_or_new(prev, delta) must be BIT-IDENTICAL to building the
+    union set from scratch at the same m_bits — a Bloom filter never
+    clears bits, so set-union == bitwise OR (the broadcast-plus-delta
+    lifecycle the epoch driver commits each epoch)."""
+    base = spark.range(0, 4000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_fp")
+    )
+    delta = spark.range(4000, 5500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_fp")
+    )
+    m_bits = seen.bloom_m_bits(10_000, n_shards=8)
+    prev = seen.build_bloom_table_fixed(base, m_bits, n_shards=8)
+    inc = seen.bloom_or_new(prev, delta, m_bits, n_shards=8)
+    full = seen.build_bloom_table_fixed(base.union(delta), m_bits, n_shards=8)
+    inc_map = {r.shard: bytes(r.bitmap) for r in inc.collect()}
+    full_map = {r.shard: bytes(r.bitmap) for r in full.collect()}
+    assert inc_map == full_map
+    # empty delta → table passes through unchanged
+    none = seen.bloom_or_new(prev, delta.limit(0), m_bits, n_shards=8)
+    assert {r.shard: bytes(r.bitmap) for r in none.collect()} == {
+        r.shard: bytes(r.bitmap) for r in prev.collect()
+    }
