@@ -149,7 +149,7 @@ if mode == "kernel":
     raise SystemExit(0)
 
 
-job = f"/tmp/sct_bench_job_c{{cores}}_{{mode}}_{commit_mode}"
+job = os.environ.get("SCT_BENCH_JOB_ROOT", "/tmp") + f"/sct_bench_job_c{{cores}}_{{mode}}_{commit_mode}"
 p = ep.CrawlParams(
     images_path=f"{{universe}}/images.parquet",
     seeds_path=f"{{universe}}/seeds.parquet",
