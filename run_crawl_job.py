@@ -36,6 +36,11 @@ def main() -> None:
                     help="delta: write only touched rows per epoch (merge-on-read)")
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--fresh", action="store_true", help="ignore existing snapshots")
+    ap.add_argument("--proxies", default=None,
+                    help="parquet proxies table: lease one token per provider "
+                         "at start, release on exit (S8)")
+    ap.add_argument("--callback-url", default=os.environ.get("CALLBACK_URL"),
+                    help="POST the result envelope here when done (K8)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,12 +73,22 @@ def main() -> None:
         use_bloom=args.use_bloom,
         commit_mode=args.commit_mode,
         compact_every=args.compact_every,
+        proxies_path=args.proxies,
     )
     t0 = time.perf_counter()
     summary = ep.run_crawl(spark, p, resume=not args.fresh)
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
     summary["urls_per_sec"] = round(summary["total_fetched"] / max(summary["wall_sec"], 1e-9), 1)
     write_callback_summary(os.path.join(args.job_dir, "SUMMARY.json"), summary)
+    if args.callback_url:
+        from scrapy_cluster_test_spark.operators.sinks import post_callback
+
+        post_callback(
+            args.callback_url,
+            job_id=os.path.basename(args.job_dir.rstrip("/")),
+            scraped_items_len=summary["total_fetched"],
+            extra={"epochs": summary["epochs"]},
+        )
     print(json.dumps(summary))
 
 
