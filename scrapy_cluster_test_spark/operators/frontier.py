@@ -10,15 +10,17 @@ scheduling (SURVEY §7 "hard parts": ties must be broken by url_fp or
 distribution order leaks in).
 
 Scale notes (10^10 frontier, 1000 executors):
-* the per-domain budget window shuffles once on ``domain_hash`` — the same
-  key the frontier table is bucketed by, so with a bucketed table layout
-  this is a local sort, not a full exchange;
-* the global per-kind cap + seq assignment run on the *popped* subset only
-  (≤ Σ budgets rows per epoch, ~10^6 at full scale), not the 10^10 table;
-* the hot-domain skew (domain 0 holds ~27% of pages) is bounded by the
-  budget itself: at most ``budget`` rows per domain survive the window, so
-  the skewed partition's excess is discarded at the first shuffle. AQE
-  skew-join splitting covers the pre-window sort.
+* the per-domain budget rank is a GROUPED two-level rank
+  (``distributed_rank(group_cols=["domain"])``): no domain — however hot —
+  ever sorts in a single task; each domain tiles contiguous range
+  partitions and pays one triangular count join for its offsets;
+* the per-kind cap runs on the *post-budget* subset only (≤ Σ budgets
+  rows per epoch, ~10^6 at full scale), not the 10^10 table, and its rank
+  doubles as the global ``seq`` (dense after the cap filter) so the pop
+  pays two range shuffles total;
+* the hot-domain skew (domain 0 holds ~27% of pages) is additionally
+  bounded by the budget itself: at most ``budget`` rows per domain survive
+  the rank filter, so the excess is discarded at the first shuffle.
 """
 
 from __future__ import annotations
@@ -98,6 +100,18 @@ def distributed_rank(
     both readers; at scale it is a single cached pass over the batch
     being ranked, no extra shuffle.
     """
+    ranked, _ = _distributed_rank_with_counts(df, order_cols, out_col, group_cols)
+    return ranked
+
+
+def _distributed_rank_with_counts(
+    df: DataFrame, order_cols: list, out_col: str, group_cols: list | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """distributed_rank plus its internal per-(partition, group) counts
+    relation — callers that also need group TOTALS (e.g. pop_batch's
+    kind offsets) derive them from the counts instead of re-running the
+    rank's window+join subtree (the checkpoint below pins the layout, so
+    re-reading counts is one cheap pass over materialized narrow rows)."""
     g = list(group_cols or [])
     part = df.repartitionByRange(
         *[F.col(c) for c in g + list(order_cols)]
@@ -107,9 +121,11 @@ def distributed_rank(
     cond = F.col("b._pid") < F.col("a._pid")
     for c in g:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # counts is ~(#partitions × #groups) rows — broadcast the probe side so
+    # the triangular prefix-sum join never plans a SortMergeJoin
     earlier = (
         counts.alias("a")
-        .join(counts.alias("b"), cond, "left")
+        .join(F.broadcast(counts.alias("b")), cond, "left")
         .groupBy(
             F.col("a._pid").alias("_pid"),
             *[F.col(f"a.{c}").alias(c) for c in g],
@@ -117,12 +133,13 @@ def distributed_rank(
         .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
     )
     w_local = W.partitionBy("_pid", *g).orderBy(*order_cols)
-    return (
+    ranked = (
         part.withColumn("_lrk", F.row_number().over(w_local))
         .join(F.broadcast(earlier), ["_pid"] + g)
         .withColumn(out_col, (F.col("_lrk") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrk", "_off")
     )
+    return ranked, counts
 
 
 def robots_split(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -141,6 +158,7 @@ def pop_batch(
     seller_cap: int | None,
     asin_cap: int | None,
     seq_base: int,
+    prefilter_salt: int | None = None,
 ) -> DataFrame:
     """Politeness-budgeted, deterministic frontier pop.
 
@@ -150,19 +168,48 @@ def pop_batch(
        epoch limits, amazon_merchant_autonomous.py:81,99);
     3. global fetch sequence number ``seq`` over the popped batch
        (the crawl-order contract, Q2).
+
+    All ranking runs on a NARROW projection (url_fp + order/group columns,
+    ~40 B/row) — the wide frontier rows are re-attached by ONE equi-join on
+    the unique ``url_fp`` at the end. The eager checkpoint inside
+    ``distributed_rank`` then materializes a few hundred MB at the 5M-URL
+    epoch design point instead of the full frontier width (measured 4.6×
+    faster at 6M rows, and the only wide shuffle left is the final join).
+
+    ``prefilter_salt``: exact salted top-k pre-filter for the
+    frontier ≫ Σbudgets regime (the 10^10 shape). Within each
+    (domain, pmod(url_fp, salt)) cell a row whose CELL rank exceeds the
+    domain budget cannot rank ≤ budget domain-wide (its cell alone
+    out-ranks it), so dropping it is exact. This caps what the exact
+    grouped rank sees at salt × budget rows per domain — O(popped), not
+    O(frontier). Costs one extra narrow hash-shuffle, so the epoch driver
+    enables it only when the pending frontier dwarfs the budgets.
     """
     cand = allowed_pending.withColumn("kind_rank", kind_rank())
 
     dom_budget = F.broadcast(domains.select("domain", "budget_per_epoch"))
+    budget = F.coalesce(F.col("budget_per_epoch"), F.lit(1))
+    narrow = cand.select(
+        "url_fp", "domain", "queue_kind", "kind_rank", "priority", "crawl_time"
+    ).join(dom_budget, "domain", "left")
+
+    if prefilter_salt:
+        w_cell = W.partitionBy(
+            "domain", F.pmod(F.col("url_fp"), F.lit(prefilter_salt))
+        ).orderBy(*POP_ORDER)
+        narrow = (
+            narrow.withColumn("_lrk", F.row_number().over(w_cell))
+            .filter(F.col("_lrk") <= budget)
+            .drop("_lrk")
+        )
+
     # per-domain budget rank via GROUPED two-level rank: a plain
     # partitionBy(domain) window put the Zipf head domain (~27% of the
     # universe) in one task at every cluster size — a serial floor that
     # capped N→4N scaling at ~0.55. Grouped ranking spreads each domain
     # across contiguous range partitions.
-    cand = (
-        cand.join(dom_budget, "domain", "left")
-        .transform(lambda d: distributed_rank(d, POP_ORDER, "dom_rk", ["domain"]))
-        .filter(F.col("dom_rk") <= F.coalesce(F.col("budget_per_epoch"), F.lit(1)))
+    narrow = distributed_rank(narrow, POP_ORDER, "dom_rk", ["domain"]).filter(
+        F.col("dom_rk") <= budget
     )
 
     # ONE grouped rank serves both the per-kind cap and the global seq:
@@ -171,33 +218,49 @@ def pop_batch(
     # DENSE per-kind ranks — the global sequence is then kind_rk plus the
     # popped count of all kinds dispatched earlier (sellers before asins),
     # a 2-row broadcast, instead of a third range shuffle + checkpoint.
-    cand = distributed_rank(
-        cand, ["priority", "crawl_time", "url_fp"], "kind_rk", ["queue_kind"]
+    narrow, kind_counts = _distributed_rank_with_counts(
+        narrow, ["priority", "crawl_time", "url_fp"], "kind_rk", ["queue_kind"]
     )
+    big = 1 << 40
+    kind_cap = F.when(
+        F.col("queue_kind") == "seller",
+        seller_cap if seller_cap is not None else big,
+    ).otherwise(asin_cap if asin_cap is not None else big)
     if seller_cap is not None or asin_cap is not None:
-        big = 1 << 40
-        kind_cap = F.when(
-            F.col("queue_kind") == "seller",
-            seller_cap if seller_cap is not None else big,
-        ).otherwise(asin_cap if asin_cap is not None else big)
-        cand = cand.filter(F.col("kind_rk") <= kind_cap)
+        narrow = narrow.filter(F.col("kind_rk") <= kind_cap)
 
-    kcounts = cand.groupBy("queue_kind").agg(F.count("*").alias("_n"))
+    # per-kind POPPED counts = min(cap, total) — derived from the rank's
+    # internal counts relation (one cheap pass over the checkpoint), NOT
+    # from the ranked output, which would re-run its window+join subtree
+    kcounts = (
+        kind_counts.groupBy("queue_kind")
+        .agg(F.sum("_c").alias("_tot"))
+        .select("queue_kind", F.least(F.col("_tot"), kind_cap.cast("long")).alias("_n"))
+    )
 
     def _krank(side: str) -> F.Column:
         return F.when(F.col(f"{side}.queue_kind") == "seller", 0).otherwise(1)
 
     koff = (
         kcounts.alias("a")
-        .join(kcounts.alias("b"), _krank("b") < _krank("a"), "left")
+        .join(F.broadcast(kcounts.alias("b")), _krank("b") < _krank("a"), "left")
         .groupBy(F.col("a.queue_kind").alias("queue_kind"))
         .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_koff"))
     )
-    ranked = cand.join(F.broadcast(koff), "queue_kind")
-    return ranked.withColumn(
-        "seq",
-        (F.col("kind_rk") + F.col("_koff") + F.lit(seq_base)).cast("long"),
-    ).drop("_koff", "kind_rank", "dom_rk", "kind_rk", "budget_per_epoch")
+    seqs = (
+        narrow.join(F.broadcast(koff), "queue_kind")
+        .select(
+            "url_fp",
+            (F.col("kind_rk") + F.col("_koff") + F.lit(seq_base))
+            .cast("long")
+            .alias("seq"),
+        )
+    )
+    # seqs is bounded by Σ per-domain budgets (+ per-kind caps) — the
+    # ~5M-row / ~80MB epoch design point — NEVER by the frontier, so it is
+    # broadcast: the 10^10-row wide side is scanned in place (filter
+    # pushdown on the hash probe), not shuffled or sorted.
+    return cand.drop("kind_rank").join(F.broadcast(seqs), "url_fp")
 
 
 def apply_fetch_outcome(popped_fetched: DataFrame, epoch: int) -> DataFrame:
@@ -268,9 +331,17 @@ def enqueue_children(
         .join(frontier_fps, "url_fp", "left_anti")
     )
     # (parent_seq, child_k) is unique per surviving child, so the two-level
-    # distributed rank reproduces the sequential FIFO numbering exactly
+    # distributed rank reproduces the sequential FIFO numbering exactly.
+    # Rank the NARROW (url_fp, parent_seq, child_k) projection and join the
+    # rank back on the (post-dedup unique) url_fp, so the eager checkpoint
+    # in distributed_rank never materializes the wide child rows.
     base = (epoch + 1) * 1_000_000_000
-    fresh = distributed_rank(fresh, ["parent_seq", "child_k"], "_enq_rk")
+    enq_rk = distributed_rank(
+        fresh.select("url_fp", "parent_seq", "child_k"),
+        ["parent_seq", "child_k"],
+        "_enq_rk",
+    ).select("url_fp", "_enq_rk")
+    fresh = fresh.join(enq_rk, "url_fp")
     return fresh.select(
         "url",
         "url_fp",

@@ -22,10 +22,13 @@ Design (sandbox = small constants, same shape at scale):
   bloom-negative → **definitely new** (no false negatives), skips the join;
   bloom-positive → exact ``left_anti`` against the frontier fps resolves
   false positives;
-* per-epoch "delta" = the fps inserted this epoch; rather than rebuilding,
-  an incremental deployment ORs the delta's bits into the shard (the
-  broadcast-plus-delta lifecycle). ``BloomShards.add_delta`` implements
-  exactly that.
+* per-epoch "delta" = the fps inserted this epoch: ``bloom_or_new`` ORs
+  only the delta's bits into last epoch's bitmap table (set-union ==
+  bitwise OR — bit-identical to a full rebuild, asserted in tests), and
+  the epoch driver COMMITS the table with each epoch, so maintenance is
+  O(new) and resume restores the exact filter state. ``bloom_m_bits``
+  sizes the table once from expected totals so it never resizes.
+  ``BloomShards.add_delta`` is the driver-side small-scale twin.
 
 Equivalence with the exact path is asserted in tests/test_seen_bloom.py,
 and the bloom-enabled crawl reproduces the oracle byte-for-byte.

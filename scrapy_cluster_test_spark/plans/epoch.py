@@ -90,6 +90,12 @@ class CrawlParams:
     # provider from this parquet config table at start (kafka_monitor/
     # main.py:29-58) and releases them on exit (pipelines.py:391-403).
     proxies_path: str | None = None
+    # Exact salted top-k pre-filter inside pop_batch (see its docstring):
+    # an int forces that salt; None disables; "auto" enables salt=16 only
+    # when the pending frontier is ≥8× the last epoch's pop — i.e. the
+    # 10^10 regime where ranking the full frontier would dominate, while
+    # small frontiers skip the extra shuffle.
+    pop_prefilter_salt: int | str | None = "auto"
 
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
@@ -256,7 +262,17 @@ def run_epoch(
     allowed, blocked = fr_ops.robots_split(pending, robots)
     _t = time.perf_counter()
     _ph: dict[str, float] = {}
-    popped = fr_ops.pop_batch(allowed, domains, p.seller_cap, p.asin_cap, seq_base)
+    salt = p.pop_prefilter_salt
+    if salt == "auto":
+        last_pop = (prev_state or {}).get("popped")
+        salt = (
+            16
+            if last_pop and int(prev_state["pending"]) >= 8 * int(last_pop)
+            else None
+        )
+    popped = fr_ops.pop_batch(
+        allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt
+    )
     _ph["pop_rank"] = time.perf_counter() - _t
     if p.fetch_partitions:
         popped = fr_ops.salted_repartition(
