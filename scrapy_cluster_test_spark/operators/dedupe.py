@@ -112,6 +112,37 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Bucket-size skew diagnostics for the LSH self-join — the metric the
+    100-TB deployment watches BEFORE running lsh_candidate_pairs, because
+    a bucket of size s emits s(s-1)/2 pairs: one degenerate bucket (e.g.
+    boilerplate-dominated shingles) turns the candidate join quadratic.
+
+    One row: n_buckets, max/p99 bucket size, and est_pairs = Σ s(s-1)/2 —
+    the exact output size of the candidate join. Gate the join on
+    est_pairs (or cap oversized buckets) rather than discovering the skew
+    as a straggler task."""
+    sig = minhash_signatures(df, id_col, text_col, bands)
+    long = sig.select(
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}|"), F.col(f"h{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    sizes = long.groupBy("bucket").agg(F.count("*").alias("s"))
+    # exact percentile (not approx) so the DuckDB oracle's quantile_cont
+    # agrees bit-for-bit; the sizes relation is #buckets rows — tiny
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("s").alias("max_bucket"),
+        F.expr("percentile(s, 0.99)").cast("double").alias("p99_bucket"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long").alias("est_pairs"),
+    )
+
+
 def _word_hash32(col: F.Column) -> F.Column:
     """First 8 md5 hex chars as a 32-bit integer — identical in DuckDB via
     CAST(concat('0x', substr(md5(w),1,8)) AS BIGINT)."""
@@ -120,27 +151,27 @@ def _word_hash32(col: F.Column) -> F.Column:
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over words: per bit, sum +1/-1 votes across (repeated)
-    tokens; bit set if the vote is positive. Output: (id, simhash)."""
-    w = words(df, text_col).select(id_col, F.explode("ws").alias("word"))
-    w = w.withColumn("h", _word_hash32(F.col("word")))
-    bits = w.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    ).withColumn(
-        # shiftright's Python wrapper wants a literal; the SQL form takes
-        # a column for the shift amount
-        "vote",
-        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1),
+    tokens; bit set if the vote is positive. Output: (id, simhash).
+
+    Computed entirely per-row with higher-order functions: one md5 per
+    word (hoisted by the outer transform), then a 32-slot vote accumulator
+    folded with aggregate/zip_with. ZERO shuffles and no row expansion —
+    the previous shape exploded 32 bit-rows per word and pushed
+    32×|words| rows through a groupBy exchange, which at 100 TB made the
+    cheap fingerprint the dominant shuffle."""
+    hs = f"transform(split({text_col}, ' '), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
+    votes = (
+        f"aggregate({hs}, array_repeat(CAST(0 AS BIGINT), 32), "
+        "(acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 31), b -> CAST(2 * ((h >> b) & 1) - 1 AS BIGINT)), "
+        "(a, v) -> a + v))"
     )
-    votes = bits.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                0
-            )
-        ).alias("simhash")
+    sim = (
+        f"aggregate(zip_with({votes}, sequence(0, 31), "
+        "(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
+    return df.select(F.col(id_col), F.expr(sim).alias("simhash"))
 
 
 def ngram_jaccard_pairs(

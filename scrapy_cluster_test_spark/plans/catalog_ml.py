@@ -96,6 +96,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_bucket_skew",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (SELECT doc_id,
+            min(md5(concat('b0|', shingle))) AS h0,
+            min(md5(concat('b1|', shingle))) AS h1,
+            min(md5(concat('b2|', shingle))) AS h2,
+            min(md5(concat('b3|', shingle))) AS h3
+            FROM sh GROUP BY doc_id),
+    long AS (SELECT concat(b.b, '|', CASE b.b WHEN '0' THEN h0 WHEN '1' THEN h1
+                                              WHEN '2' THEN h2 ELSE h3 END) AS bucket
+             FROM sig, LATERAL unnest(['0','1','2','3']) AS b(b)),
+    sizes AS (SELECT bucket, count(*) AS s FROM long GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(s) AS BIGINT) AS max_bucket,
+           CAST(quantile_cont(s, 0.99) AS DOUBLE) AS p99_bucket,
+           CAST(sum(s * (s - 1) / 2) AS BIGINT) AS est_pairs
+    FROM sizes
+    """,
+)
+def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size skew diagnostics for the LSH candidate join: max/p99
+    bucket size and est_pairs = Σ s(s-1)/2, the exact pair-count the join
+    would emit — the pre-flight gate a 100-TB dedup runs before the
+    quadratic-in-bucket-size self-join."""
+    return dedupe.lsh_bucket_stats(_docs(spark, sf_dir), "doc_id")
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_SQL},

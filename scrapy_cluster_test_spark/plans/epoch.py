@@ -390,36 +390,51 @@ def run_epoch(
     # cost is O(touched) too.
     this_epoch = (F.col("epoch") == epoch)
     fetched_now = this_epoch & F.col("seq").isNotNull()
+    # ONE grouped pass serves both the per-bucket lineage rows AND every
+    # frontier-wide counter: grouping by the 16 lineage buckets costs the
+    # same scan the global agg needs anyway, and the globals are just sums
+    # of 16 driver-local rows — previously this was two full scans of the
+    # written snapshot per epoch.
     _t = time.perf_counter()
-    lineage = (
-        stats_src.filter(fetched_now)
-        .groupBy(F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).alias("b"))
-        .agg(F.count("*").alias("n"))
+    per_bucket = (
+        stats_src.groupBy(
+            F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).alias("b")
+        )
+        .agg(
+            F.sum(fetched_now.cast("long")).alias("n_popped"),
+            F.sum(
+                (this_epoch & (F.col("status") == "pending") & (F.col("retry_times") == 0))
+                .cast("long")
+            ).alias("n_new"),
+            F.sum(
+                (this_epoch & (F.col("status") == "robots_blocked")).cast("long")
+            ).alias("n_blocked"),
+            F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
+            F.sum(
+                (fetched_now & F.col("status").isin("done", "failed")).cast("long")
+            ).alias("n_ended"),
+            F.count("*").alias("n_frontier"),
+            *[
+                F.sum((fetched_now & (F.col("status_code") == sc)).cast("long")).alias(
+                    f"sc_{sc}"
+                )
+                for sc in (200, 404, 429, 503, 520)
+            ],
+        )
         .collect()
     )
-    _ph["lineage"] = time.perf_counter() - _t
-    _t = time.perf_counter()
-    agg = stats_src.agg(
-        F.sum(fetched_now.cast("long")).alias("n_popped"),
-        F.sum(
-            (this_epoch & (F.col("status") == "pending") & (F.col("retry_times") == 0))
-            .cast("long")
-        ).alias("n_new"),
-        F.sum(
-            (this_epoch & (F.col("status") == "robots_blocked")).cast("long")
-        ).alias("n_blocked"),
-        F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
-        F.sum(
-            (fetched_now & F.col("status").isin("done", "failed")).cast("long")
-        ).alias("n_ended"),
-        F.count("*").alias("n_frontier"),
-        *[
-            F.sum((fetched_now & (F.col("status_code") == sc)).cast("long")).alias(
-                f"sc_{sc}"
-            )
-            for sc in (200, 404, 429, 503, 520)
-        ],
-    ).collect()[0]
+    lineage = [
+        {"b": r["b"], "n": int(r["n_popped"] or 0)}
+        for r in per_bucket
+        if int(r["n_popped"] or 0) > 0
+    ]
+    agg = {
+        k: sum(int(r[k] or 0) for r in per_bucket)
+        for k in (
+            "n_popped", "n_new", "n_blocked", "n_pending", "n_ended", "n_frontier",
+            "sc_200", "sc_404", "sc_429", "sc_503", "sc_520",
+        )
+    }
     _ph["agg"] = time.perf_counter() - _t
     n_popped = int(agg["n_popped"] or 0)
     if p.commit_mode == "delta":
