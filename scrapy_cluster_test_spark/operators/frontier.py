@@ -10,17 +10,19 @@ scheduling (SURVEY §7 "hard parts": ties must be broken by url_fp or
 distribution order leaks in).
 
 Scale notes (10^10 frontier, 1000 executors):
-* the per-domain budget rank is a GROUPED two-level rank
-  (``distributed_rank(group_cols=["domain"])``): no domain — however hot —
-  ever sorts in a single task; each domain tiles contiguous range
-  partitions and pays one triangular count join for its offsets;
-* the per-kind cap runs on the *post-budget* subset only (≤ Σ budgets
-  rows per epoch, ~10^6 at full scale), not the 10^10 table, and its rank
-  doubles as the global ``seq`` (dense after the cap filter) so the pop
-  pays two range shuffles total;
-* the hot-domain skew (domain 0 holds ~27% of pages) is additionally
-  bounded by the budget itself: at most ``budget`` rows per domain survive
-  the rank filter, so the excess is discarded at the first shuffle.
+* every rank runs on a NARROW projection (~40 B/row); the wide frontier
+  rows re-attach through one broadcast join bounded by the popped batch;
+* the per-domain budget rank is one hash window whose hot-domain task is
+  bounded by salt × budget via the exact salted prefilter (auto-on when
+  frontier ≫ budgets) — O(popped) past the first shuffle, never
+  O(frontier);
+* the global ``seq`` and child FIFO numbers come from ``bucketed_rank``:
+  deterministic two-level ranking over fixed-width buckets of the dense
+  FIFO counters (crawl_time / parent_seq) — no single-task window, no
+  range-boundary sampling, no checkpoint barrier, epoch stays one lazy
+  dataflow;
+* the per-kind cap + seq run on the *post-budget* subset only (≤ Σ
+  budgets rows per epoch, ~10^6 at full scale), not the 10^10 table.
 """
 
 from __future__ import annotations
@@ -64,6 +66,82 @@ def salted_repartition(
         F.col("domain_hash"),
         F.pmod(F.col("url_fp"), F.lit(salt_buckets)),
     )
+
+
+def bucketed_rank(
+    df: DataFrame,
+    bucket: F.Column,
+    order_cols: list,
+    out_col: str,
+    group_cols: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic two-level rank over ``order_cols`` (per ``group_cols``),
+    returning (ranked, per-(bucket, group) counts).
+
+    ``bucket`` must be (a) monotone non-decreasing along the sort order —
+    rows that compare lower never get a higher bucket — and (b) roughly
+    balanced. Both hold for free in this engine because the leading sort
+    keys are DENSE FIFO COUNTERS (crawl_time, parent seq): quantizing them
+    with a fixed width gives ~width rows per bucket, no sampling pass
+    required. That determinism is the point: ``repartitionByRange``
+    samples boundaries per-Exchange (seeded by RDD id), so its two-level
+    rank needed an eager localCheckpoint to pin one layout — a per-epoch
+    materialization barrier that forced the upstream pipeline to execute
+    at plan-construction time and again at the epoch action (measured:
+    ~75 s of an 88 s kernel epoch was checkpoint construction). With a
+    bucket that is a pure COLUMN, every subtree recomputes identically,
+    so no checkpoint exists and the epoch stays one lazy dataflow.
+
+    The input is persisted (MEMORY_AND_DISK, freed by the context
+    cleaner) because the counts subtree and the window subtree both read
+    it; both branches then cost one cached pass, and a concurrent
+    first-materialization race is benign — every recomputation is
+    byte-identical.
+
+    Rank = local row_number within (bucket, group) + the count of the
+    group's rows in all LOWER buckets (triangular broadcast join over the
+    tiny counts relation)."""
+    from pyspark.storagelevel import StorageLevel
+
+    g = list(group_cols or [])
+    b = df.withColumn("_bk", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = b.groupBy("_bk", *g).agg(F.count("*").alias("_c"))
+    cond = F.col("b._bk") < F.col("a._bk")
+    for c in g:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    earlier = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), cond, "left")
+        .groupBy(
+            F.col("a._bk").alias("_bk"),
+            *[F.col(f"a.{c}").alias(c) for c in g],
+        )
+        .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
+    )
+    w_local = W.partitionBy("_bk", *g).orderBy(*order_cols)
+    ranked = (
+        b.withColumn("_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(earlier), ["_bk"] + g)
+        .withColumn(out_col, (F.col("_lrk") + F.col("_off")).cast("long"))
+        .drop("_bk", "_lrk", "_off")
+    )
+    return ranked, counts
+
+
+# quantization widths for the dense-counter bucket columns: ~width rows
+# land in each (bucket, group) window task, so the hot path never sorts
+# more than this in one task regardless of frontier or epoch size
+POP_CT_BUCKET = 1 << 16
+ENQ_SEQ_BUCKET = 1 << 13
+
+
+def pop_seq_bucket() -> F.Column:
+    """Bucket for the popped-batch seq rank, monotone in the
+    (priority, crawl_time) prefix of the pop order: priority values are
+    tiny ints (retry adjust = -1), crawl_time is a dense FIFO counter."""
+    return (F.col("priority").cast("long") + F.lit(1 << 20)) * F.lit(
+        1 << 30
+    ) + F.floor(F.col("crawl_time") / F.lit(POP_CT_BUCKET)).cast("long")
 
 
 def distributed_rank(
@@ -170,11 +248,10 @@ def pop_batch(
        (the crawl-order contract, Q2).
 
     All ranking runs on a NARROW projection (url_fp + order/group columns,
-    ~40 B/row) — the wide frontier rows are re-attached by ONE equi-join on
-    the unique ``url_fp`` at the end. The eager checkpoint inside
-    ``distributed_rank`` then materializes a few hundred MB at the 5M-URL
-    epoch design point instead of the full frontier width (measured 4.6×
-    faster at 6M rows, and the only wide shuffle left is the final join).
+    ~40 B/row) — the wide frontier rows are re-attached by ONE broadcast
+    equi-join on the unique ``url_fp`` at the end, so the frontier itself
+    is never shuffled or sorted; the only full pass over wide rows is the
+    scan-side probe of that join.
 
     ``prefilter_salt``: exact salted top-k pre-filter for the
     frontier ≫ Σbudgets regime (the 10^10 shape). Within each
@@ -203,13 +280,17 @@ def pop_batch(
             .drop("_lrk")
         )
 
-    # per-domain budget rank via GROUPED two-level rank: a plain
-    # partitionBy(domain) window put the Zipf head domain (~27% of the
-    # universe) in one task at every cluster size — a serial floor that
-    # capped N→4N scaling at ~0.55. Grouped ranking spreads each domain
-    # across contiguous range partitions.
-    narrow = distributed_rank(narrow, POP_ORDER, "dom_rk", ["domain"]).filter(
-        F.col("dom_rk") <= budget
+    # per-domain budget rank: one hash-shuffle window on the NARROW rows.
+    # The hot-domain task is bounded at scale because the salted
+    # prefilter above (auto-on when frontier ≫ budgets) caps each domain
+    # at salt × budget rows BEFORE this window — O(popped), never
+    # O(frontier) — while small/bench frontiers skip the extra shuffle
+    # and this is the same single window a sequential scheduler implies.
+    w_dom = W.partitionBy("domain").orderBy(*POP_ORDER)
+    narrow = (
+        narrow.withColumn("dom_rk", F.row_number().over(w_dom))
+        .filter(F.col("dom_rk") <= budget)
+        .drop("budget_per_epoch")
     )
 
     # ONE grouped rank serves both the per-kind cap and the global seq:
@@ -217,9 +298,15 @@ def pop_batch(
     # the cap filter removes exactly the tail ranks, so survivors keep
     # DENSE per-kind ranks — the global sequence is then kind_rk plus the
     # popped count of all kinds dispatched earlier (sellers before asins),
-    # a 2-row broadcast, instead of a third range shuffle + checkpoint.
-    narrow, kind_counts = _distributed_rank_with_counts(
-        narrow, ["priority", "crawl_time", "url_fp"], "kind_rk", ["queue_kind"]
+    # a 2-row broadcast. The rank is deterministic two-level over dense
+    # crawl_time buckets (bucketed_rank): no single-task window, no
+    # sampling, no checkpoint barrier.
+    narrow, kind_counts = bucketed_rank(
+        narrow,
+        pop_seq_bucket(),
+        ["priority", "crawl_time", "url_fp"],
+        "kind_rk",
+        ["queue_kind"],
     )
     big = 1 << 40
     kind_cap = F.when(
@@ -330,18 +417,19 @@ def enqueue_children(
         .drop("rn")
         .join(frontier_fps, "url_fp", "left_anti")
     )
-    # (parent_seq, child_k) is unique per surviving child, so the two-level
-    # distributed rank reproduces the sequential FIFO numbering exactly.
-    # Rank the NARROW (url_fp, parent_seq, child_k) projection and join the
-    # rank back on the (post-dedup unique) url_fp, so the eager checkpoint
-    # in distributed_rank never materializes the wide child rows.
+    # (parent_seq, child_k) is unique per surviving child, so the
+    # two-level rank reproduces the sequential FIFO numbering exactly.
+    # parent_seq is dense (the popped batch's seq), so quantizing it gives
+    # balanced deterministic buckets — bucketed_rank then needs no
+    # checkpoint, and the expensive child-discovery pipeline upstream runs
+    # ONCE (its persist inside bucketed_rank is shared by every subtree).
     base = (epoch + 1) * 1_000_000_000
-    enq_rk = distributed_rank(
-        fresh.select("url_fp", "parent_seq", "child_k"),
+    fresh, _ = bucketed_rank(
+        fresh,
+        F.floor(F.col("parent_seq") / F.lit(ENQ_SEQ_BUCKET)).cast("long"),
         ["parent_seq", "child_k"],
         "_enq_rk",
-    ).select("url_fp", "_enq_rk")
-    fresh = fresh.join(enq_rk, "url_fp")
+    )
     return fresh.select(
         "url",
         "url_fp",

@@ -40,7 +40,9 @@ FETCH_SCHEMA = (
     "image_id string, phash long"
 )
 
-CHILD_SCHEMA = "parent_seq long, parent_fp long, child_k int, url string, queue_kind string"
+CHILD_SCHEMA = (
+    "parent_seq long, parent_fp long, child_k int, j long, d int, queue_kind string"
+)
 
 
 def attach_image_id(popped: DataFrame) -> DataFrame:
@@ -122,7 +124,7 @@ def _children_batches(n_images: int):
             )
             parent_seq = ok["seq"].to_numpy(np.int64)
             parent_fp = ok["url_fp"].to_numpy(np.int64)
-            child_kind = ok["queue_kind"].map(spec.child_kind).to_numpy()
+            child_kind = ok["ckind"].to_numpy()
             out = []
             for k in range(spec.MAX_CHILDREN):
                 mask = n_child > k
@@ -130,21 +132,14 @@ def _children_batches(n_images: int):
                     break
                 j = spec.child_indices_np(phash[mask].view(np.int64), k, n_images)
                 d = spec.domain_id_np(j)
-                urls = (
-                    "https://d"
-                    + pd.Series(d).astype(str).str.zfill(4)
-                    + ".example.com/"
-                    + pd.Series(child_kind[mask])
-                    + "/"
-                    + pd.Series(j).astype(str).str.zfill(10)
-                )
                 out.append(
                     pd.DataFrame(
                         {
                             "parent_seq": parent_seq[mask],
                             "parent_fp": parent_fp[mask],
                             "child_k": np.full(mask.sum(), k, np.int32),
-                            "url": urls.to_numpy(),
+                            "j": j,
+                            "d": d.astype(np.int32),
                             "queue_kind": child_kind[mask],
                         }
                     )
@@ -156,15 +151,48 @@ def _children_batches(n_images: int):
 
 
 def discover_children(fetched: DataFrame, n_images: int) -> DataFrame:
-    """200-pages → child link rows, with native fp/domain/bucket columns."""
-    raw = fetched.select(
-        "seq", "url_fp", "queue_kind", "status_code", "phash"
-    ).mapInPandas(_children_batches(n_images), schema=CHILD_SCHEMA)
-    canon = urlkit.canonicalize(F.col("url"))
-    fp = urlkit.url_fingerprint(canon)
-    domain = urlkit.domain_of(canon)
+    """200-pages → child link rows, with native fp/domain/bucket columns.
+
+    The Python stage stays pure numpy and emits ONLY integer link targets
+    (j, d) — the 10×-fanout URL strings are assembled afterwards by JVM
+    codegen (concat/lpad). Building them with pandas str ops inside the
+    UDF cost ~20 s/epoch at a 27M-child fan-out and dominated the Arrow
+    transfer; ints are 8 bytes each and the string never crosses the
+    Python boundary. (In a real crawl this stage parses payloads — the
+    same minimal-output rule applies: emit extraction results, not
+    re-serialized pages.)"""
+    src = fetched.select(
+        "seq",
+        "url_fp",
+        "status_code",
+        "phash",
+        # child kind derived natively BEFORE the UDF (offer pages yield
+        # sellers and vice versa) so the Python side never string-maps
+        F.when(F.col("queue_kind") == "asin", "seller")
+        .otherwise("asin")
+        .alias("ckind"),
+    )
+    raw = src.mapInPandas(_children_batches(n_images), schema=CHILD_SCHEMA)
+    # Engine-constructed child URLs are canonical BY CONSTRUCTION (https,
+    # lowercase host, no query/fragment), so canonicalize() — six
+    # parse_url calls per row, ~20 s/epoch at a 27M fan-out — is skipped;
+    # the identity canonicalize(child_url) == child_url is pinned in
+    # tests/test_urlkit.py. External URLs (seeds, imports) always go
+    # through the full canonicalizer.
+    domain = F.concat(
+        F.lit("d"), F.lpad(F.col("d").cast("string"), 4, "0"), F.lit(".example.com")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        domain,
+        F.lit("/"),
+        F.col("queue_kind"),
+        F.lit("/"),
+        F.lpad(F.col("j").cast("string"), 10, "0"),
+    )
+    fp = urlkit.url_fingerprint(url)
     return raw.select(
-        F.col("url"),
+        url.alias("url"),
         fp.alias("url_fp"),
         domain.alias("domain"),
         urlkit.domain_hash(domain).alias("domain_hash"),

@@ -77,3 +77,28 @@ def test_canonical_idempotent(spark):
 def test_proxy_unwrap():
     wrapped = "https://api.proxycrawl.com/?token=tk&url=https%3A%2F%2Famazon.com%2Fdp%2FB01"
     assert urlkit.py_canonicalize(wrapped) == "https://amazon.com/dp/B01"
+
+
+def test_child_urls_already_canonical(spark):
+    """discover_children builds child URLs canonical BY CONSTRUCTION and
+    skips canonicalize() (six parse_url calls/row saved on the 10x
+    fan-out); this pins the identity the shortcut relies on."""
+    df = spark.range(200).select(
+        (F.col("id") % 7).cast("int").alias("d"),
+        F.col("id").alias("j"),
+        F.when(F.col("id") % 2 == 0, "seller").otherwise("asin").alias("k"),
+    )
+    url = F.concat(
+        F.lit("https://d"),
+        F.lpad(F.col("d").cast("string"), 4, "0"),
+        F.lit(".example.com/"),
+        F.col("k"),
+        F.lit("/"),
+        F.lpad(F.col("j").cast("string"), 10, "0"),
+    )
+    bad = (
+        df.select(url.alias("u"), urlkit.canonicalize(url).alias("c"))
+        .filter("u != c OR c IS NULL")
+        .count()
+    )
+    assert bad == 0
