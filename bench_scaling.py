@@ -127,7 +127,7 @@ if mode == "kernel":
         # (plans/epoch.run_epoch) — each feeds multiple consumers
         allowed, blocked = fr_ops.robots_split(frontier, robots)
         popped = fr_ops.pop_batch(allowed, domains, None, None, 0).persist()
-        payload = fetchsim.join_payload(popped, images)
+        payload = fetchsim.join_payload(popped, images, prune_buckets=False)
         fetched = fetchsim.fetch_statuses(payload).persist()
         children = fetchsim.discover_children(fetched, n_images)
         new_rows = fr_ops.enqueue_children(children, frontier.select("url_fp"), it_)

@@ -282,7 +282,13 @@ def run_epoch(
     # consume popped — without this the pop window would run twice
     popped = popped.persist()
     _t = time.perf_counter()
-    payload = fetchsim.join_payload(popped, images)
+    payload = fetchsim.join_payload(
+        popped,
+        images,
+        # bucket pruning pays only when caps bound the pop; an uncapped
+        # epoch touches every bucket, so skip the extra job barrier
+        prune_buckets=(p.seller_cap is not None or p.asin_cap is not None),
+    )
     _ph["pop+buckets"] = time.perf_counter() - _t
     fetched = fetchsim.fetch_statuses(payload).persist()
 

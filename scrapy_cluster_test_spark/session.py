@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE flip shuffle joins to broadcast from ACTUAL runtime sizes
+        # up to 128 MB (e.g. the popped batch in the payload join): static
+        # estimates stay at the conservative 10 MB default, so only joins
+        # whose materialized side is genuinely small get rewritten
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

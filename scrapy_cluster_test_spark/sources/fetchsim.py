@@ -57,7 +57,12 @@ def attach_image_id(popped: DataFrame) -> DataFrame:
     )
 
 
-def join_payload(popped: DataFrame, images: DataFrame, with_bytes: bool = False) -> DataFrame:
+def join_payload(
+    popped: DataFrame,
+    images: DataFrame,
+    with_bytes: bool = False,
+    prune_buckets: bool = True,
+) -> DataFrame:
     """Join the popped batch to its page payloads.
 
     Broadcast the popped side; Catalyst prunes the image columns not
@@ -78,13 +83,21 @@ def join_payload(popped: DataFrame, images: DataFrame, with_bytes: bool = False)
     # driver-side collect. Catalyst turns the isin into PartitionFilters on
     # the scan, which Spark's DPP heuristics decline here (no selective
     # build-side filter to trigger them).
-    buckets = [
-        r[0] for r in tagged.select("img_bucket").distinct().collect()
-    ]
-    im = im.filter(F.col("img_bucket").isin(buckets))
-    return im.join(
-        F.broadcast(tagged), ["img_bucket", "image_id"], "inner"
-    ).drop("img_bucket")
+    if prune_buckets:
+        # Worth a driver round-trip only when the popped batch is SMALL
+        # (capped epochs): a large uncapped pop touches every bucket, so
+        # the caller disables this and skips one job barrier per epoch.
+        buckets = [
+            r[0] for r in tagged.select("img_bucket").distinct().collect()
+        ]
+        im = im.filter(F.col("img_bucket").isin(buckets))
+    # No broadcast hint: the popped side ranges from ~7k rows (capped sched
+    # epochs — AQE flips this to a broadcast join at runtime, under the
+    # raised adaptive threshold in session.py) to millions (uncapped
+    # kernel epochs — a forced broadcast build of ~500 MB of wide rows was
+    # a serial-per-epoch cost; a shuffle join is parallel and both sides
+    # are O(popped) after the partition-pruned scan).
+    return im.join(tagged, ["img_bucket", "image_id"], "inner").drop("img_bucket")
 
 
 def fetch_statuses(popped_with_payload: DataFrame) -> DataFrame:
