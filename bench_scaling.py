@@ -181,6 +181,16 @@ extra = {{}}
 if mode == "decode":
     from scrapy_cluster_test_spark.operators import multimodal
     from pyspark.sql import functions as F
+    # Binary-heavy Arrow transfer: the session default of 10k records per
+    # batch means ~200 MB Arrow batches of image bytes PER python worker
+    # (k workers in flight at local[k]) — the r1/r2 8→32-core knee.
+    # Small batches keep the per-worker resident set flat; env-tunable so
+    # the mitigation is measurable (SCT_ARROW_BATCH=10000 reproduces the
+    # old behavior).
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        os.environ.get("SCT_ARROW_BATCH", "512"),
+    )
     log = ep.read_crawl_log(spark, job).select("image_id").distinct()
     images = spark.read.parquet(f"{{universe}}/images.parquet")
     t1 = time.perf_counter()
@@ -217,11 +227,29 @@ def run_level(
         commit_mode=commit_mode,
     )
     t0 = time.time()
+    env = dict(os.environ)
+    # Memory is held FIXED and AMPLE (32 GiB) at every level so CPU is
+    # the only scaled resource. Profiling showed both alternatives lie:
+    # a per-core heap starves the LOW level (local[2] holds ALL the data
+    # in one small heap — on a real cluster 2 executors each hold half),
+    # while r2's flat 8 GiB starved the 6M-row HIGH level. With 32 GiB
+    # neither level spills or evicts, so the throughput ratio measures
+    # the dataflow's parallel scalability — the thing the N→4N criterion
+    # is about — not cache-capacity artifacts local mode invents.
+    env.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    # CPU-pin the whole process tree to exactly `cores` CPUs: local[k]
+    # bounds JVM task SLOTS only — python workers, GC and shuffle threads
+    # still spill onto every machine core, so an unpinned "2-core" run
+    # actually burns ~2.3 cores (measured util 1.1-1.15 in
+    # bench_profile_kernel) and the 4× efficiency denominator lies.
+    # taskset makes compute resources genuinely scale 4× between levels,
+    # like N→4N executors do.
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

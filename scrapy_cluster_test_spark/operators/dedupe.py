@@ -79,15 +79,27 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", bands: int = DEFAULT_BANDS
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs: documents sharing ANY band
     bucket. Output: distinct (id_a, id_b) with id_a < id_b.
 
     Scale shape: signatures shuffle once on the band hash (the bucket
     join key); the self-join per band is an equi-join Catalyst plans as
-    shuffle-hash; hot buckets are bounded because a bucket of size s
-    yields s² pairs — monitor via bucket-size metrics at 100 TB."""
+    shuffle-hash; a bucket of size s yields s(s-1)/2 pairs, so skew is
+    watched via ``lsh_bucket_stats`` BEFORE the join at 100 TB.
+
+    ``max_bucket_size`` is the production gate that metric feeds: buckets
+    larger than the cap (boilerplate-dominated shingles — one degenerate
+    bucket turns the join quadratic) are DROPPED before the self-join, so
+    the pair output is bounded by Σ_{s≤cap} s(s-1)/2 ≤ n_buckets·cap²/2.
+    Documents in a dropped bucket still pair through their other bands.
+    None (the default, and the oracle-checked semantics) keeps every
+    bucket."""
     sig = minhash_signatures(df, id_col, text_col, bands)
     # ONE self-join on the exploded (band, hash) key instead of `bands`
     # separate joins: the band id is salted into the join key, so buckets
@@ -102,6 +114,16 @@ def lsh_candidate_pairs(
             ])
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        # the oversized-bucket relation is tiny by construction (only
+        # degenerate buckets exceed the cap) — broadcast anti-join
+        oversized = (
+            long.groupBy("bucket")
+            .agg(F.count("*").alias("s"))
+            .filter(F.col("s") > max_bucket_size)
+            .select("bucket")
+        )
+        long = long.join(F.broadcast(oversized), "bucket", "left_anti")
     a = long.select(F.col(id_col).alias("id_a"), "bucket")
     bb = long.select(F.col(id_col).alias("id_b"), "bucket")
     return (

@@ -74,6 +74,8 @@ def bucketed_rank(
     order_cols: list,
     out_col: str,
     group_cols: list | None = None,
+    shared_exchange: bool = False,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic two-level rank over ``order_cols`` (per ``group_cols``),
     returning (ranked, per-(bucket, group) counts).
@@ -92,20 +94,47 @@ def bucketed_rank(
     bucket that is a pure COLUMN, every subtree recomputes identically,
     so no checkpoint exists and the epoch stays one lazy dataflow.
 
-    The input is persisted (MEMORY_AND_DISK, freed by the context
-    cleaner) because the counts subtree and the window subtree both read
-    it; both branches then cost one cached pass, and a concurrent
-    first-materialization race is benign — every recomputation is
-    byte-identical.
+    Two materialization strategies for the shared input (profiled at 6M
+    rows, 2 vs 8 pinned cores — bench_profile_kernel.py):
+
+    * ``shared_exchange=True`` — both the counts subtree and the final
+      join re-read the WINDOW OUTPUT, whose input is one hash Exchange on
+      (bucket, group); the exchanges canonicalize identically, so
+      ReuseExchange materializes the upstream EXACTLY ONCE and each
+      branch pays only its reduce-side sort of ≤bucket-width rows. Right
+      when the caller consumes the rank through ONE subtree (the enqueue
+      FIFO rank: 84s → 29s at 8 cores — the persisted shape let the two
+      consumer stages race and recompute upstream partitions
+      concurrently, 1.4× CPU inflation that killed N→4N efficiency).
+    * default (persist) — the input is persisted (MEMORY_AND_DISK) and
+      both branches read the cache. Right when the RANKED output feeds
+      several independent broadcast subtrees (pop's seq/kind-offset
+      broadcasts): exchange reuse does not span nested BroadcastExchange
+      stage trees, so the exchange shape re-ran pop's upstream 3-4×
+      (88s / 584 CPU-s vs 31s / 224 at 8 cores). The persisted handle is
+      appended to ``cache_registry`` so loop callers (the epoch driver)
+      can unpersist after the epoch's writes instead of leaking one
+      CacheManager entry per call (r2 ADVICE item).
 
     Rank = local row_number within (bucket, group) + the count of the
     group's rows in all LOWER buckets (triangular broadcast join over the
     tiny counts relation)."""
-    from pyspark.storagelevel import StorageLevel
-
     g = list(group_cols or [])
-    b = df.withColumn("_bk", bucket).persist(StorageLevel.MEMORY_AND_DISK)
-    counts = b.groupBy("_bk", *g).agg(F.count("*").alias("_c"))
+    b = df.withColumn("_bk", bucket)
+    w_local = W.partitionBy("_bk", *g).orderBy(*order_cols)
+    if shared_exchange:
+        loc = b.withColumn("_lrk", F.row_number().over(w_local))
+        counts = loc.groupBy("_bk", *g).agg(
+            F.max("_lrk").cast("long").alias("_c")
+        )
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(b)
+        loc = b.withColumn("_lrk", F.row_number().over(w_local))
+        counts = b.groupBy("_bk", *g).agg(F.count("*").alias("_c"))
     cond = F.col("b._bk") < F.col("a._bk")
     for c in g:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -118,10 +147,8 @@ def bucketed_rank(
         )
         .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
     )
-    w_local = W.partitionBy("_bk", *g).orderBy(*order_cols)
     ranked = (
-        b.withColumn("_lrk", F.row_number().over(w_local))
-        .join(F.broadcast(earlier), ["_bk"] + g)
+        loc.join(F.broadcast(earlier), ["_bk"] + g)
         .withColumn(out_col, (F.col("_lrk") + F.col("_off")).cast("long"))
         .drop("_bk", "_lrk", "_off")
     )
@@ -138,9 +165,15 @@ ENQ_SEQ_BUCKET = 1 << 13
 def pop_seq_bucket() -> F.Column:
     """Bucket for the popped-batch seq rank, monotone in the
     (priority, crawl_time) prefix of the pop order: priority values are
-    tiny ints (retry adjust = -1), crawl_time is a dense FIFO counter."""
+    tiny ints (retry adjust = -1), crawl_time is a dense FIFO counter.
+
+    Bounds (monotonicity breaks outside them, so they are generous):
+    |priority| < 2^20 and crawl_time < 2^56 — i.e. floor(ct / 2^16) < 2^40
+    never overflows into the next priority's stripe. crawl_time is
+    (epoch+1)·10^9 + rank, so the ceiling is epoch ≈ 7.2·10^7; the whole
+    expression peaks at ~2^21 · 2^40 = 2^61 < 2^63 (no long overflow)."""
     return (F.col("priority").cast("long") + F.lit(1 << 20)) * F.lit(
-        1 << 30
+        1 << 40
     ) + F.floor(F.col("crawl_time") / F.lit(POP_CT_BUCKET)).cast("long")
 
 
@@ -237,6 +270,7 @@ def pop_batch(
     asin_cap: int | None,
     seq_base: int,
     prefilter_salt: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Politeness-budgeted, deterministic frontier pop.
 
@@ -279,19 +313,40 @@ def pop_batch(
             .filter(F.col("_lrk") <= budget)
             .drop("_lrk")
         )
-
-    # per-domain budget rank: one hash-shuffle window on the NARROW rows.
-    # The hot-domain task is bounded at scale because the salted
-    # prefilter above (auto-on when frontier ≫ budgets) caps each domain
-    # at salt × budget rows BEFORE this window — O(popped), never
-    # O(frontier) — while small/bench frontiers skip the extra shuffle
-    # and this is the same single window a sequential scheduler implies.
-    w_dom = W.partitionBy("domain").orderBy(*POP_ORDER)
-    narrow = (
-        narrow.withColumn("dom_rk", F.row_number().over(w_dom))
-        .filter(F.col("dom_rk") <= budget)
-        .drop("budget_per_epoch")
-    )
+        # per-domain budget rank: the salted prefilter above already
+        # bounded every domain at salt × budget rows, so one plain
+        # hash-shuffle window is O(popped) with no hot task.
+        w_dom = W.partitionBy("domain").orderBy(*POP_ORDER)
+        narrow = (
+            narrow.withColumn("dom_rk", F.row_number().over(w_dom))
+            .filter(F.col("dom_rk") <= budget)
+            .drop("budget_per_epoch")
+        )
+    else:
+        # fat-pop regime (no prefilter — budgets comparable to the
+        # frontier, the kernel-bench shape): a plain partitionBy(domain)
+        # window puts the Zipf head domain (~27% of the universe) in ONE
+        # task — an Amdahl serial floor that caps N→4N scaling. Rank
+        # per domain with the deterministic two-level bucketed rank
+        # instead: buckets quantize the dense (kind, priority,
+        # crawl_time) prefix, so the hot domain's rows spread over
+        # ~|frontier|/POP_CT_BUCKET parallel window tasks and ranks are
+        # IDENTICAL to the plain window (identity pinned in
+        # tests/test_distributed_rank.py).
+        dom_bucket = (
+            (F.shiftleft(F.col("kind_rank").cast("long"), 21)
+             + F.col("priority").cast("long") + F.lit(1 << 20)) * F.lit(1 << 40)
+            + F.floor(F.col("crawl_time") / F.lit(POP_CT_BUCKET)).cast("long")
+        )
+        narrow, _ = bucketed_rank(
+            narrow,
+            dom_bucket,
+            POP_ORDER,
+            "dom_rk",
+            ["domain"],
+            cache_registry=cache_registry,
+        )
+        narrow = narrow.filter(F.col("dom_rk") <= budget).drop("budget_per_epoch")
 
     # ONE grouped rank serves both the per-kind cap and the global seq:
     # within a kind the pop order is (priority, crawl_time, url_fp), and
@@ -307,6 +362,7 @@ def pop_batch(
         ["priority", "crawl_time", "url_fp"],
         "kind_rk",
         ["queue_kind"],
+        cache_registry=cache_registry,
     )
     big = 1 << 40
     kind_cap = F.when(
@@ -343,10 +399,19 @@ def pop_batch(
             .alias("seq"),
         )
     )
-    # seqs is bounded by Σ per-domain budgets (+ per-kind caps) — the
-    # ~5M-row / ~80MB epoch design point — NEVER by the frontier, so it is
-    # broadcast: the 10^10-row wide side is scanned in place (filter
-    # pushdown on the hash probe), not shuffled or sorted.
+    # Re-attach the wide rows. Two regimes:
+    # * capped pop (production: per-kind caps or the salted prefilter
+    #   bound seqs at ~10^4-10^5 rows) → BROADCAST seqs: the 10^10-row
+    #   wide side is scanned in place (hash-probe pushdown), never
+    #   shuffled or sorted.
+    # * uncapped fat pop (kernel bench: seqs ~ frontier/2, millions of
+    #   rows) → SHUFFLE_HASH: a broadcast build of an N-million-row hash
+    #   relation is single-threaded driver work LINEAR in the popped
+    #   batch (~35 s at 5M pops — measured as the dominant non-scaling
+    #   term of the N→4N kernel bench), while the shuffle join moves both
+    #   sides in parallel and builds per-partition maps on every core.
+    if seller_cap is None and asin_cap is None and not prefilter_salt:
+        return cand.drop("kind_rank").join(seqs.hint("SHUFFLE_HASH"), "url_fp")
     return cand.drop("kind_rank").join(F.broadcast(seqs), "url_fp")
 
 
@@ -422,13 +487,17 @@ def enqueue_children(
     # parent_seq is dense (the popped batch's seq), so quantizing it gives
     # balanced deterministic buckets — bucketed_rank then needs no
     # checkpoint, and the expensive child-discovery pipeline upstream runs
-    # ONCE (its persist inside bucketed_rank is shared by every subtree).
+    # ONCE: the rank's two branches share one reused hash Exchange
+    # (shared_exchange=True — single consumer chain, the shape profiling
+    # showed 3× faster at 8 cores than the persisted input, see
+    # bucketed_rank docstring).
     base = (epoch + 1) * 1_000_000_000
     fresh, _ = bucketed_rank(
         fresh,
         F.floor(F.col("parent_seq") / F.lit(ENQ_SEQ_BUCKET)).cast("long"),
         ["parent_seq", "child_k"],
         "_enq_rk",
+        shared_exchange=True,
     )
     return fresh.select(
         "url",

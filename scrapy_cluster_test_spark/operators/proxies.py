@@ -13,6 +13,7 @@ plan.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -58,20 +59,26 @@ def lease_tokens(
 
     Mirrors the reference's wait loop (PROXY_SLEEP_RETRY): if any provider
     has no free token, retry up to ``retries`` times then raise. Returns
-    {provider: token}."""
+    {provider: token}.
+
+    The read-modify-write is guarded by an advisory lock file so two
+    concurrent jobs cannot both lease the same free token (the reference
+    gets this from Mongo's per-document atomicity; parquet has none)."""
     for attempt in range(retries + 1):
-        cur = spark.read.parquet(proxies_path)
-        out = mark_lease(cur, providers)
-        winners = {
-            r["provider"]: r["token"]
-            for r in out.filter("leased").select("provider", "token").collect()
-        }
-        if all(p in winners for p in providers):
-            nxt = out.select(
-                "token", "provider", F.col("in_used_after").alias("in_used")
-            )
-            _rewrite(spark, nxt, proxies_path)
-            return winners
+        with _table_lock(proxies_path):
+            _repair(proxies_path)
+            cur = spark.read.parquet(proxies_path)
+            out = mark_lease(cur, providers)
+            winners = {
+                r["provider"]: r["token"]
+                for r in out.filter("leased").select("provider", "token").collect()
+            }
+            if all(p in winners for p in providers):
+                nxt = out.select(
+                    "token", "provider", F.col("in_used_after").alias("in_used")
+                )
+                _rewrite(spark, nxt, proxies_path)
+                return winners
         if attempt < retries:
             time.sleep(sleep_s)
     missing = [p for p in providers if p not in winners]
@@ -82,17 +89,57 @@ def release_tokens(
     spark: SparkSession, proxies_path: str, tokens: dict[str, str]
 ) -> None:
     """Clear ``in_used`` for the leased tokens (pipelines.py:391-403)."""
-    cur = spark.read.parquet(proxies_path)
-    vals = set(tokens.values())
-    nxt = cur.withColumn(
-        "in_used",
-        F.when(F.col("token").isin(*vals), F.lit(False)).otherwise(F.col("in_used")),
-    )
-    _rewrite(spark, nxt, proxies_path)
+    with _table_lock(proxies_path):
+        _repair(proxies_path)
+        cur = spark.read.parquet(proxies_path)
+        vals = set(tokens.values())
+        nxt = cur.withColumn(
+            "in_used",
+            F.when(F.col("token").isin(*vals), F.lit(False)).otherwise(
+                F.col("in_used")
+            ),
+        )
+        _rewrite(spark, nxt, proxies_path)
+
+
+@contextlib.contextmanager
+def _table_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.05):
+    """Advisory lock for the lease/release read-modify-write: an O_EXCL
+    lock file next to the table. Cross-process on one filesystem — the
+    sandbox stand-in for the optimistic-commit conflict an Iceberg UPDATE
+    would raise. Stale locks (holder died) are not auto-broken; the
+    timeout raises instead so the operator decides."""
+    lock = path.rstrip("/") + ".lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(f"proxies table lock held too long: {lock}")
+            time.sleep(poll_s)
+    try:
+        yield
+    finally:
+        os.unlink(lock)
+
+
+def _repair(path: str) -> None:
+    """Recover a crash between _rewrite's two renames: if the table dir is
+    missing but ``._old`` survives, the writer died mid-swap — restore the
+    previous version (the new one, if fully written, is still in ``._next``
+    and the interrupted operation simply never happened)."""
+    old = path.rstrip("/") + "._old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
 
 
 def _rewrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Atomic-enough small-table rewrite: write aside, swap directories.
+    ``._old`` is kept until the new version is in place, so a crash at any
+    point leaves either the old or the new table recoverable (_repair).
     (The proxies table is O(tokens) — on a cluster this is one Iceberg
     row-level UPDATE; a full rewrite of a KB-sized config table is the
     same cost.)"""

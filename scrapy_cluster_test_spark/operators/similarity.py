@@ -216,6 +216,58 @@ def md5_planes_df(spark, dim: int, n_planes: int, n_tables: int) -> DataFrame:
     )
 
 
+def md5_lsh_codes(
+    vectors: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) LSH codes from the md5-derived hyperplanes — the
+    shared kernel of ``neardup_pairs_lsh`` and ``ann_topk_lsh``. One
+    bucket per hash table per vector; bucket ids are disjoint across
+    tables (table id in the high bits). Plan shape: explode ×(n_tables ·
+    n_planes), broadcast plane join, ordered float fold per (vector,
+    plane), then an integer bit-sum per (vector, table) — every float
+    step element-ordered so the DuckDB oracle is bit-identical."""
+    spark = vectors.sparkSession
+    dim = len(vectors.select(emb_col).first()[0])
+    planes = md5_planes_df(spark, dim, n_planes, n_tables)
+    n_codes = n_tables * n_planes
+
+    v = vectors.select(F.col(id_col), F.col(emb_col))
+    fan = v.select(
+        id_col,
+        emb_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_codes - 1))).alias("_tp"),
+    ).select(
+        id_col,
+        emb_col,
+        (F.col("_tp") / n_planes).cast("long").alias("t"),
+        (F.col("_tp") % n_planes).cast("long").alias("p"),
+    )
+    dots = fan.join(F.broadcast(planes), ["t", "p"]).select(
+        id_col, "t", "p", dot_cols(F.col(emb_col), F.col("plane")).alias("d")
+    )
+    return (
+        dots.groupBy(id_col, "t")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bits")
+        )
+        .select(
+            F.col(id_col),
+            (F.shiftleft(F.col("t").cast("long"), n_planes) + F.col("bits")).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
 def neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -250,42 +302,7 @@ def neardup_pairs_lsh(
     bit-identity. Candidate pairs are deduped as bare ids BEFORE the
     embeddings are re-joined for the exact-cosine verify, so the widest
     rows never pass through the distinct shuffle."""
-    spark = vectors.sparkSession
-    dim = len(vectors.select(emb_col).first()[0])
-    planes = md5_planes_df(spark, dim, n_planes, n_tables)
-    n_codes = n_tables * n_planes
-
-    v = vectors.select(F.col(id_col), F.col(emb_col))
-    fan = v.select(
-        id_col,
-        emb_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_codes - 1))).alias("_tp"),
-    ).select(
-        id_col,
-        emb_col,
-        (F.col("_tp") / n_planes).cast("long").alias("t"),
-        (F.col("_tp") % n_planes).cast("long").alias("p"),
-    )
-    dots = fan.join(F.broadcast(planes), ["t", "p"]).select(
-        id_col, "t", "p", dot_cols(F.col(emb_col), F.col("plane")).alias("d")
-    )
-    codes = (
-        dots.groupBy(id_col, "t")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("d") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("bits")
-        )
-        .select(
-            F.col(id_col),
-            (F.shiftleft(F.col("t").cast("long"), n_planes) + F.col("bits")).alias(
-                "bucket"
-            ),
-        )
-    )
+    codes = md5_lsh_codes(vectors, n_planes, n_tables, id_col, emb_col)
     cand = (
         codes.select(F.col(id_col).alias("vec_a"), "bucket")
         .join(codes.select(F.col(id_col).alias("vec_b"), "bucket"), "bucket")
@@ -351,6 +368,119 @@ def neardup_oracle_sql(
     SELECT vec_a, vec_b
     FROM dotp JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
     WHERE dot / (na.nr * nb.nr) >= {threshold}
+    """
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with the ORACLE-MIRRORABLE md5-plane LSH — the
+    registered ANN operator (the crossJoin ``brute_force_topk`` is the
+    test-side recall reference only, the same split as
+    ``neardup_pairs_lsh`` vs ``embedding_neardup_bruteforce``).
+
+    Codes are computed ONCE over the vectors table; the query side reuses
+    them via a semi-join (queries ⊆ vectors). Candidates come from the
+    bucket EQUI-join — shuffle/broadcast hash, never CartesianProduct
+    (asserted in tests/test_plans.py) — and only bucket-co-resident pairs
+    pay the exact ordered-fold cosine, so per-query work is the candidate
+    set, not N. At 100 TB the codes relation is written bucketed by
+    ``bucket`` so probes partition-prune. Recall vs brute force is
+    measured in tests/test_similarity.py, not assumed.
+
+    Output: (query_id, neighbor_id, rnk) — rnk by (cosine desc, id), may
+    yield < k rows for a query whose buckets are sparse (oracle agrees)."""
+    codes = md5_lsh_codes(vectors, n_planes, n_tables, id_col, emb_col)
+    qids = queries.select(F.col(id_col))
+    qcodes = codes.join(qids, id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    cand = (
+        qcodes.join(codes.select(F.col(id_col).alias("neighbor_id"), "bucket"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vn = vectors.select(
+        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
+    )
+    pair = cand.join(
+        vn.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("emb_q"),
+            F.col("nr").alias("norm_q"),
+        ),
+        "query_id",
+    ).join(
+        vn.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("emb_v"),
+            F.col("nr").alias("norm_v"),
+        ),
+        "neighbor_id",
+    )
+    scored = pair.withColumn(
+        "cosine", dot_cols("emb_q", "emb_v") / (F.col("norm_q") * F.col("norm_v"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def ann_topk_oracle_sql(
+    k: int = 5,
+    query_every: int = 50,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+) -> str:
+    """DuckDB oracle for ``ann_topk_lsh`` with queries = vec_id %
+    query_every == 0 — identical md5-plane bucket math and element-ordered
+    float folds as ``neardup_oracle_sql``, then the top-k window."""
+    return f"""
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+    dims AS (SELECT DISTINCT i AS j FROM ex),
+    planes AS (
+      SELECT t, p, j,
+             (CAST(concat('0x', substr(md5(concat(t, '|', p, '|', j)), 1, 8)) AS BIGINT)
+              % 1000001) / 500000.0 - 1.0 AS w
+      FROM generate_series(0, {n_tables - 1}) AS tt(t),
+           generate_series(0, {n_planes - 1}) AS pp(p),
+           dims),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x ORDER BY i)) AS nr FROM ex GROUP BY vec_id),
+    dots AS (SELECT e.vec_id, pl.t, pl.p, sum(e.x * pl.w ORDER BY e.i) AS d
+             FROM ex e JOIN planes pl ON pl.j = e.i
+             GROUP BY e.vec_id, pl.t, pl.p),
+    codes AS (SELECT vec_id, t,
+                     sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                       + (t::BIGINT << {n_planes}) AS bucket
+              FROM dots GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+             FROM codes q JOIN codes v
+               ON q.bucket = v.bucket AND q.vec_id != v.vec_id
+             WHERE q.vec_id % {query_every} = 0),
+    dotp AS (SELECT c.query_id, c.neighbor_id, sum(ea.x * eb.x ORDER BY ea.i) AS dot
+             FROM cand c
+             JOIN ex ea ON ea.vec_id = c.query_id
+             JOIN ex eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+             GROUP BY c.query_id, c.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id, dot / (na.nr * nb.nr) AS c
+               FROM dotp JOIN nrm na ON na.vec_id = query_id
+                         JOIN nrm nb ON nb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
     """
 
 

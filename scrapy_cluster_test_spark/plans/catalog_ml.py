@@ -198,31 +198,22 @@ def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(cosine >= 0.38).select("vec_a", "vec_b")
 
 
-@query(
-    "ann_cosine_topk",
-    f"""
-    WITH {_EMB_EXPAND_SQL},
-    q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
-    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                    sum(a.x * b.x ORDER BY a.i) AS dot
-             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id != b.vec_id
-             WHERE a.vec_id IN (SELECT vec_id FROM q)
-             GROUP BY a.vec_id, b.vec_id),
-    scored AS (SELECT query_id, neighbor_id,
-                      dot / (na.nr * nb.nr) AS c
-               FROM dots JOIN nrm na ON na.vec_id = query_id
-                         JOIN nrm nb ON nb.vec_id = neighbor_id)
-    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY c DESC, neighbor_id) AS rnk
-          FROM scored)
-    WHERE rnk <= 5
-    """,
-)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for the query subset (vec_id%50==0):
-    the ANN baseline. The LSH-bucketed scale path is benchmarked against
-    this for recall in tests/test_similarity.py."""
+@query("ann_cosine_topk_lsh", similarity.ann_topk_oracle_sql())
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 for the query subset (vec_id%50==0) via
+    the md5-plane LSH bucket equi-join — the 100-TB-shaped ANN operator
+    (no CartesianProduct, asserted in tests/test_plans.py). Recall vs the
+    exact crossJoin baseline (``ann_cosine_topk_exact``, unregistered) is
+    measured in tests/test_similarity.py."""
+    e = _embs(spark, sf_dir)
+    return similarity.ann_topk_lsh(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+def ann_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-side recall reference ONLY (not registered): exact brute-force
+    cosine top-5 for the same query subset — O(N²/50) crossJoin, kept
+    solely to measure ``ann_cosine_topk_lsh``'s recall against exact
+    truth (the same split as embedding_neardup_bruteforce)."""
     e = _embs(spark, sf_dir)
     return similarity.brute_force_topk(
         e, e.filter(F.col("vec_id") % 50 == 0), k=5

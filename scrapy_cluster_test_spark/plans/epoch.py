@@ -84,12 +84,26 @@ class CrawlParams:
     #             path. This is the sandbox form of an Iceberg MERGE
     #             (merge-on-read + periodic compaction); crawl output is
     #             byte-identical across modes (tests/test_delta_mode.py).
+    #             A real Iceberg/Delta catalog was evaluated (round 3):
+    #             no iceberg/delta jar exists anywhere in the container
+    #             and package installs are unavailable, so the stand-in
+    #             stays — but delta files ARE bucket-partitioned by
+    #             pmod(domain_hash, N_LINEAGE_BUCKETS) like the Iceberg
+    #             table the north rule names, and bucket-scoped readers
+    #             prune untouched buckets at file listing.
     commit_mode: str = "cow"
     compact_every: int = 8
     # S8 proxy-token lease: when set, run_crawl leases one token per
     # provider from this parquet config table at start (kafka_monitor/
     # main.py:29-58) and releases them on exit (pipelines.py:391-403).
     proxies_path: str | None = None
+    # Q12 chained-fetch context as an epoch-path consumer: when set, each
+    # epoch also writes ``child_ctx`` — every ENQUEUED child with its
+    # parent's crawl-log row reconstructed as one ``ctx`` struct via
+    # fetchsim.with_parent_context (the reference's cb_kwargs carry,
+    # amazon_merchant.py:547-572, rebuilt on demand from parent_fp instead
+    # of bloating 10^10 frontier rows with duplicated parent data).
+    emit_child_context: bool = False
     # Exact salted top-k pre-filter inside pop_batch (see its docstring):
     # an int forces that salt; None disables; "auto" enables salt=16 only
     # when the pending frontier is ≥8× the last epoch's pop — i.e. the
@@ -198,7 +212,11 @@ def _frontier_base_epoch(job_dir: str, upto: int) -> int:
 
 
 def _read_frontier_state(
-    spark: SparkSession, job_dir: str, upto: int, with_audit: bool = False
+    spark: SparkSession,
+    job_dir: str,
+    upto: int,
+    with_audit: bool = False,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Frontier state as of `upto` in delta mode: base snapshot overlaid
     with every later delta, resolved last-writer-wins by url_fp.
@@ -207,7 +225,10 @@ def _read_frontier_state(
     (bounded by budgets × epochs-since-compaction, never the 10^10 base);
     the base contributes via one anti-join on the touched fps — broadcast
     when the touched set is small, the same bucketed-MERGE read an Iceberg
-    merge-on-read table does."""
+    merge-on-read table does. ``buckets`` restricts the read to those
+    pmod(domain_hash, N_LINEAGE_BUCKETS) buckets — delta files are
+    partitioned by that key, so untouched buckets are never even listed
+    (the "MERGE rewrites only touched buckets" read path)."""
     cols = SNAPSHOT_COLS if with_audit else FRONTIER_COLS
     base_e = _frontier_base_epoch(job_dir, upto)
     base = spark.read.parquet(
@@ -220,7 +241,27 @@ def _read_frontier_state(
     ]
     if not deltas:
         return base.select(*cols)
-    d = spark.read.parquet(*deltas).select(*SNAPSHOT_COLS)
+    # each delta root is its own partitioned (_dbucket=K) table — Spark's
+    # partition discovery cannot span multiple roots, so read per-root and
+    # union (the bucket filter below still prunes per root: Catalyst
+    # pushes filters through Union into every scan)
+    d = None
+    for pth in deltas:
+        part = spark.read.parquet(pth)
+        d = part if d is None else d.unionByName(part)
+    if buckets is not None:
+        # bucket-scoped merge-on-read: ``_dbucket`` is a PARTITION column
+        # of the delta files (written via partitionBy), so this filter
+        # prunes at the file listing — an epoch that touched k buckets
+        # wrote k subdirs and a scoped reader lists only those
+        # (asserted via inputFiles in tests/test_delta_mode.py)
+        d = d.filter(F.col("_dbucket").isin([int(b) for b in buckets]))
+        base = base.filter(
+            F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).isin(
+                [int(b) for b in buckets]
+            )
+        )
+    d = d.select(*SNAPSHOT_COLS)
     # each fp is touched at most once per epoch, so (url_fp, epoch) is
     # unique and max-epoch-wins is a total resolution
     from pyspark.sql.window import Window as W
@@ -270,8 +311,13 @@ def run_epoch(
             if last_pop and int(prev_state["pending"]) >= 8 * int(last_pop)
             else None
         )
+    # pop_batch's internal rank persists are tracked here and released
+    # after the epoch's writes — without this the CacheManager accumulates
+    # entries per epoch for the lifetime of the crawl (r2 ADVICE)
+    _caches: list = []
     popped = fr_ops.pop_batch(
-        allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt
+        allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt,
+        cache_registry=_caches,
     )
     _ph["pop_rank"] = time.perf_counter() - _t
     if p.fetch_partitions:
@@ -343,6 +389,15 @@ def run_epoch(
     updated = fr_ops.apply_fetch_outcome(fetched, epoch).select(
         *FRONTIER_COLS, "seq", "status_code", "image_id"
     )
+    if p.emit_child_context:
+        # parent rows fetched THIS epoch are exactly the producers of
+        # this epoch's children — one equi-join on parent_fp rebuilds the
+        # cb_kwargs context (fetchsim.with_parent_context docstring)
+        ctx_rows = fetchsim.with_parent_context(
+            new_rows.select("url", "url_fp", "parent_fp"),
+            updated.filter(F.col("seq").isNotNull()),
+        )
+        ctx_rows.write.parquet(os.path.join(ed, "child_ctx"))
     blocked_rows = (
         blocked.withColumn("status", F.lit("robots_blocked"))
         .withColumn("epoch", F.lit(epoch))
@@ -354,11 +409,17 @@ def run_epoch(
         .select(*SNAPSHOT_COLS)
     )
     if p.commit_mode == "delta":
-        # O(touched) commit: only the rows this epoch changed hit disk;
-        # a full compacted snapshot every compact_every epochs bounds the
-        # delta chain the read path overlays.
+        # O(touched) commit: only the rows this epoch changed hit disk,
+        # PARTITIONED by pmod(domain_hash, N_LINEAGE_BUCKETS) — the
+        # sandbox form of an Iceberg MERGE into a bucket-partitioned
+        # table: an epoch touching k buckets writes k subdirs, and
+        # bucket-scoped merge-on-read readers prune the rest at file
+        # listing. A full compacted snapshot every compact_every epochs
+        # bounds the delta chain the read path overlays.
         _t = time.perf_counter()
-        delta_rows.write.parquet(os.path.join(ed, "delta"))
+        delta_rows.withColumn(
+            "_dbucket", F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS))
+        ).write.partitionBy("_dbucket").parquet(os.path.join(ed, "delta"))
         _ph["write"] = time.perf_counter() - _t
         if epoch % p.compact_every == 0:
             _read_frontier_state(spark, p.job_dir, epoch, with_audit=True).write.parquet(
@@ -385,6 +446,8 @@ def run_epoch(
     fetched.unpersist()
     popped.unpersist()
     children.unpersist()
+    for _c in _caches:
+        _c.unpersist()
 
     # ---- metrics (A3/A4 counter tree) — ONE aggregation over what was
     # written (full snapshot in cow mode, the touched rows in delta mode)

@@ -49,7 +49,9 @@ def crawl(spark):
     datagen.generate_all(
         spark, DATA, n_images=N_IMAGES, n_seeds=N_SEEDS, budget_scale=BUDGET_SCALE
     )
-    summary = ep.run_crawl(spark, _params(JOB_A), resume=False)
+    summary = ep.run_crawl(
+        spark, _params(JOB_A, emit_child_context=True), resume=False
+    )
     sim = simulate(
         f"{DATA}/images.parquet",
         datagen.seed_rows(N_IMAGES, N_SEEDS),
@@ -188,3 +190,37 @@ def test_child_rows_reconstruct_parent_context(spark, crawl):
         | (F.col("p_epoch") > F.col("epoch"))
     ).count()
     assert bad == 0
+
+
+def test_child_ctx_matches_oracle(spark, crawl):
+    """VERDICT r2 item #8: the epoch driver's child_ctx output (the
+    reference's cb_kwargs carry, rebuilt on demand by
+    fetchsim.with_parent_context) must equal the oracle simulator's
+    carried context: for every enqueued child, its parent's crawl-log row
+    from the child's creation epoch."""
+    import glob as _glob
+
+    _, sim = crawl
+    dirs = sorted(_glob.glob(f"{JOB_A}/epoch=*/child_ctx"))
+    assert dirs, "emit_child_context wrote nothing"
+    eng = {}
+    for d in dirs:
+        e = int(d.split("epoch=")[1].split("/")[0])
+        for r in spark.read.parquet(d).collect():
+            assert r.ctx is not None, (e, r.url_fp)
+            eng[r.url_fp] = (
+                e,
+                r.parent_fp,
+                (r.ctx.domain, r.ctx.queue_kind, r.ctx.status_code,
+                 r.ctx.image_id, r.ctx.seq),
+            )
+
+    log_by = {(t[2], t[0]): t for t in sim.crawl_log}  # (url_fp, epoch) → row
+    ora = {}
+    for fp, row in sim.frontier.items():
+        if row.parent_fp is None:
+            continue  # seed
+        ce = row.crawl_time // 1_000_000_000 - 1  # creation epoch
+        t = log_by[(row.parent_fp, ce)]
+        ora[fp] = (ce, row.parent_fp, (t[3], t[4], t[5], t[6], t[1]))
+    assert eng == ora

@@ -111,3 +111,42 @@ def test_delta_torn_write_ignored(spark, universe, tmp_path):
     ref_job = str(tmp_path / "ref")
     ep.run_crawl(spark, _params(ref_job, "delta", compact_every=3))
     assert _log(spark, job) == _log(spark, ref_job)
+
+
+def test_delta_bucket_pruning(spark, universe, tmp_path):
+    """VERDICT r2 item #5: delta files are partitioned by
+    pmod(domain_hash, N_LINEAGE_BUCKETS); a bucket-scoped merge-on-read
+    touches ONLY that bucket's delta partitions (checked via inputFiles)
+    and returns exactly the full overlay filtered to the bucket."""
+    from pyspark.sql import functions as F
+
+    job = str(tmp_path / "bkt")
+    ep.run_crawl(spark, _params(job, "delta", compact_every=100))
+    last = ep.last_committed_epoch(job)
+    assert last and last >= 2
+    # every committed delta epoch wrote _dbucket=K subdirs only for the
+    # buckets it touched
+    ddirs = sorted(glob.glob(f"{job}/epoch=*/delta"))
+    assert ddirs
+    for d in ddirs:
+        subs = sorted(os.listdir(d))
+        assert all(
+            s.startswith(("_dbucket=", "_", ".")) for s in subs
+        ), subs
+
+    b = int(
+        os.path.basename(
+            sorted(glob.glob(f"{ddirs[-1]}/_dbucket=*"))[0]
+        ).split("=")[1]
+    )
+    scoped = ep._read_frontier_state(spark, job, last, buckets=[b])
+    delta_files = [f for f in scoped.inputFiles() if "/delta/" in f]
+    assert delta_files, "scoped read saw no delta files"
+    assert all(f"_dbucket={b}/" in f for f in delta_files), delta_files[:5]
+
+    full = ep._read_frontier_state(spark, job, last).filter(
+        F.pmod(F.col("domain_hash"), F.lit(ep.N_LINEAGE_BUCKETS)) == b
+    )
+    assert sorted(tuple(r) for r in scoped.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )

@@ -72,8 +72,15 @@ def test_pop_batch_seq_matches_window_reference(spark):
         "SELECT * FROM VALUES ('d0',400),('d1',400),('d2',400),('d3',400),"
         "('d4',400),('d5',400),('d6',400) AS t(domain, budget_per_epoch)"
     )
-    for caps in ((700, 900), (None, None)):
-        popped = pop_batch(fr, domains, caps[0], caps[1], seq_base=100)
+    for caps, salt in (
+        ((700, 900), None),   # bucketed dom-rank branch (fat-pop regime)
+        ((None, None), None),
+        ((700, 900), 4),      # salted-prefilter + plain-window branch
+        ((None, None), 4),
+    ):
+        popped = pop_batch(
+            fr, domains, caps[0], caps[1], seq_base=100, prefilter_salt=salt
+        )
         # reference: same budget/cap filters with plain windows + global seq
         c = fr.withColumn("kind_rank", kind_rank()).join(
             F.broadcast(domains), "domain", "left"
@@ -96,4 +103,4 @@ def test_pop_batch_seq_matches_window_reference(spark):
         got = popped.select("url_fp", "seq")
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, ref.collect())
-        ), f"caps={caps}"
+        ), f"caps={caps} salt={salt}"

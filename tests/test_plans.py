@@ -169,3 +169,15 @@ def test_pop_batch_no_single_partition_window(spark, universe):
     )
     enq = fr_ops.enqueue_children(children, frontier.select("url_fp"), 0)
     assert "SinglePartition" not in _plan(enq), _plan(enq)[:3000]
+
+
+def test_ann_lsh_plan_has_no_cartesian(spark):
+    """VERDICT r2 item #4: the registered ANN query must plan as a bucket
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin anywhere
+    (the O(N^2) shape lives only in the unregistered exact baseline)."""
+    from scrapy_cluster_test_spark.plans.catalog import catalog
+
+    df = catalog()["ann_cosine_topk_lsh"].builder(spark, SF_TINY)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
