@@ -230,10 +230,17 @@ def _read_frontier_state(
     partitioned by that key, so untouched buckets are never even listed
     (the "MERGE rewrites only touched buckets" read path)."""
     cols = SNAPSHOT_COLS if with_audit else FRONTIER_COLS
+    bset = None if buckets is None else sorted({int(b) for b in buckets})
     base_e = _frontier_base_epoch(job_dir, upto)
     base = spark.read.parquet(
         os.path.join(_epoch_dir(job_dir, base_e), "frontier")
     ).select(*SNAPSHOT_COLS)
+    if bset is not None:
+        # applied BEFORE the no-delta early return so a bucket-scoped read
+        # of a compaction/bootstrap epoch honors the scope too
+        base = base.filter(
+            F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).isin(bset)
+        )
     deltas = [
         os.path.join(_epoch_dir(job_dir, e), "delta")
         for e in range(base_e + 1, upto + 1)
@@ -243,25 +250,50 @@ def _read_frontier_state(
         return base.select(*cols)
     # each delta root is its own partitioned (_dbucket=K) table — Spark's
     # partition discovery cannot span multiple roots, so read per-root and
-    # union (the bucket filter below still prunes per root: Catalyst
-    # pushes filters through Union into every scan)
+    # union. Bucket scoping happens at LISTING time: we already know which
+    # _dbucket=K subdirs we need, so a scoped read constructs the scan from
+    # exactly those paths — O(touched buckets) files by construction, never
+    # a full-root listing filtered after the fact (a post-union .isin filter
+    # does NOT reliably become partition pruning across a multi-root union).
     d = None
     for pth in deltas:
-        part = spark.read.parquet(pth)
+        if bset is None:
+            part = spark.read.parquet(pth).select(*SNAPSHOT_COLS)
+        else:
+            sub = [
+                os.path.join(pth, f"_dbucket={b}")
+                for b in bset
+                if os.path.isdir(os.path.join(pth, f"_dbucket={b}"))
+            ]
+            if sub:
+                part = (
+                    spark.read.option("basePath", pth)
+                    .parquet(*sub)
+                    .select(*SNAPSHOT_COLS)
+                )
+            elif any(
+                e.startswith("_dbucket=") for e in os.listdir(pth)
+            ):
+                # bucketed root that never touched the requested buckets
+                continue
+            else:
+                # pre-upgrade delta root (written before bucket
+                # partitioning): no _dbucket subdirs to prune by, so fall
+                # back to a row-level filter on the same key — unprunable
+                # but still correct, keeping old job dirs resumable
+                part = (
+                    spark.read.parquet(pth)
+                    .filter(
+                        F.pmod(
+                            F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)
+                        ).isin(bset)
+                    )
+                    .select(*SNAPSHOT_COLS)
+                )
         d = part if d is None else d.unionByName(part)
-    if buckets is not None:
-        # bucket-scoped merge-on-read: ``_dbucket`` is a PARTITION column
-        # of the delta files (written via partitionBy), so this filter
-        # prunes at the file listing — an epoch that touched k buckets
-        # wrote k subdirs and a scoped reader lists only those
-        # (asserted via inputFiles in tests/test_delta_mode.py)
-        d = d.filter(F.col("_dbucket").isin([int(b) for b in buckets]))
-        base = base.filter(
-            F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).isin(
-                [int(b) for b in buckets]
-            )
-        )
-    d = d.select(*SNAPSHOT_COLS)
+    if d is None:
+        # scoped read and none of the delta epochs touched these buckets
+        return base.select(*cols)
     # each fp is touched at most once per epoch, so (url_fp, epoch) is
     # unique and max-epoch-wins is a total resolution
     from pyspark.sql.window import Window as W
