@@ -164,6 +164,14 @@ def lsh_topk(
 
 NEARDUP_PLANES = 5
 NEARDUP_TABLES = 24
+# ANN top-k needs a higher collision probability than threshold near-dup:
+# recall of the true top-k (including moderately-near neighbors) must be
+# >=0.9, measured at sf0.1 in tests/test_similarity.py. 40 tables of 5
+# planes measures 0.970 there (24 tables: 0.875 — below the floor).
+# Keeping 5 planes (32 buckets/table) rather than dropping planes keeps
+# bucket granularity, the dial that matters at 10^10 rows.
+ANN_PLANES = 5
+ANN_TABLES = 40
 NEARDUP_THRESHOLD = 0.38
 
 
@@ -375,8 +383,8 @@ def ann_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = NEARDUP_PLANES,
-    n_tables: int = NEARDUP_TABLES,
+    n_planes: int = ANN_PLANES,
+    n_tables: int = ANN_TABLES,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -385,26 +393,40 @@ def ann_topk_lsh(
     test-side recall reference only, the same split as
     ``neardup_pairs_lsh`` vs ``embedding_neardup_bruteforce``).
 
-    Codes are computed ONCE over the vectors table; the query side reuses
-    them via a semi-join (queries ⊆ vectors). Candidates come from the
-    bucket EQUI-join — shuffle/broadcast hash, never CartesianProduct
-    (asserted in tests/test_plans.py) — and only bucket-co-resident pairs
-    pay the exact ordered-fold cosine, so per-query work is the candidate
-    set, not N. At 100 TB the codes relation is written bucketed by
-    ``bucket`` so probes partition-prune. Recall vs brute force is
-    measured in tests/test_similarity.py, not assumed.
+    The expensive codes relation (n_tables plane-fold dots per vector) is
+    computed ONCE: instead of a codes⨝codes self-join (which plans the
+    md5-plane aggregation subtree twice, once per side), each bucket is
+    grouped into a member array with its resident query ids flagged, and
+    candidates come from a double explode of (queries × members) within
+    the bucket — identical candidate set, half the code-derivation cost,
+    and still never a CartesianProduct (asserted in tests/test_plans.py).
+    Per-bucket arrays are bounded by bucket size = N / 2^n_planes per
+    table; at 10^10 rows raise ``n_planes`` (and tables with it) so the
+    bucket granularity tracks N — the same degenerate-bucket dial as
+    ``dedupe.max_bucket_size``. Only bucket-co-resident pairs pay the
+    exact ordered-fold cosine. Recall vs brute force is measured in
+    tests/test_similarity.py (>=0.9 floor; 0.970 at the defaults), not
+    assumed.
 
     Output: (query_id, neighbor_id, rnk) — rnk by (cosine desc, id), may
     yield < k rows for a query whose buckets are sparse (oracle agrees)."""
     codes = md5_lsh_codes(vectors, n_planes, n_tables, id_col, emb_col)
-    qids = queries.select(F.col(id_col))
-    qcodes = codes.join(qids, id_col, "left_semi").select(
-        F.col(id_col).alias("query_id"), "bucket"
+    qids = queries.select(F.col(id_col)).withColumn("_isq", F.lit(1))
+    marked = codes.join(qids, id_col, "left")
+    grp = (
+        marked.groupBy("bucket")
+        .agg(
+            F.collect_list(
+                F.when(F.col("_isq") == 1, F.col(id_col))
+            ).alias("_qs"),
+            F.collect_list(F.col(id_col)).alias("_members"),
+        )
+        .filter(F.size("_qs") > 0)
     )
     cand = (
-        qcodes.join(codes.select(F.col(id_col).alias("neighbor_id"), "bucket"), "bucket")
+        grp.select(F.explode("_qs").alias("query_id"), "_members")
+        .select("query_id", F.explode("_members").alias("neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
         .distinct()
     )
     vn = vectors.select(
@@ -439,8 +461,8 @@ def ann_topk_lsh(
 def ann_topk_oracle_sql(
     k: int = 5,
     query_every: int = 50,
-    n_planes: int = NEARDUP_PLANES,
-    n_tables: int = NEARDUP_TABLES,
+    n_planes: int = ANN_PLANES,
+    n_tables: int = ANN_TABLES,
 ) -> str:
     """DuckDB oracle for ``ann_topk_lsh`` with queries = vec_id %
     query_every == 0 — identical md5-plane bucket math and element-ordered
