@@ -17,6 +17,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return tables.load(spark, sf_dir, name)
 
 
+# registered FIRST in this module so a driver-side 50-query cap (observed:
+# CORRECTNESS_r01-r03 each have exactly 50 rows and iteration-order #51 was
+# never checked) cannot drop it again; the entry that now lands at #51 is
+# extract_seller_struct, driver-green in r3 (see COVERAGE.md).
+@query(
+    "proxy_token_lease",
+    """
+    WITH proxies AS (
+      SELECT 'tok' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS token,
+             (['crawlera','proxycrawl','proxycrawl_js'])[CAST(s_suppkey % 3 AS INT) + 1] AS provider,
+             s_suppkey % 5 = 0 AS in_used
+      FROM supplier),
+    ranked AS (
+      SELECT *, CASE WHEN NOT in_used
+                     THEN row_number() OVER (PARTITION BY provider, in_used ORDER BY token)
+                END AS rk
+      FROM proxies)
+    SELECT token, provider, in_used,
+           coalesce(rk = 1, FALSE) AS leased,
+           in_used OR coalesce(rk = 1, FALSE) AS in_used_after
+    FROM ranked
+    """,
+)
+def proxy_token_lease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 proxy-token lease as a dataflow transition (kafka_monitor/
+    main.py:29-58): first free token per provider wins the lease, winners
+    flip in_used — one window + projection, MERGE-rewritten in the real
+    lifecycle (operators/proxies.py, exercised end-to-end by run_crawl
+    when CrawlParams.proxies_path is set)."""
+    from ..operators.proxies import mark_lease
+
+    s = _t(spark, sf_dir, "supplier")
+    proxies = s.select(
+        F.concat(
+            F.lit("tok"), F.lpad(F.col("s_suppkey").cast("string"), 6, "0")
+        ).alias("token"),
+        F.element_at(
+            F.array(F.lit("crawlera"), F.lit("proxycrawl"), F.lit("proxycrawl_js")),
+            (F.col("s_suppkey") % 3).cast("int") + 1,
+        ).alias("provider"),
+        (F.col("s_suppkey") % 5 == 0).alias("in_used"),
+    )
+    return mark_lease(proxies)
+
+
 @query(
     "set_except_union",
     """
@@ -884,44 +929,3 @@ def extract_seller_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = c.withColumn("url", url).withColumn("page_text", text)
     parsed = parse_seller_struct(pages)
     return parsed.select("c_custkey", "seller.*")
-
-
-@query(
-    "proxy_token_lease",
-    """
-    WITH proxies AS (
-      SELECT 'tok' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS token,
-             (['crawlera','proxycrawl','proxycrawl_js'])[CAST(s_suppkey % 3 AS INT) + 1] AS provider,
-             s_suppkey % 5 = 0 AS in_used
-      FROM supplier),
-    ranked AS (
-      SELECT *, CASE WHEN NOT in_used
-                     THEN row_number() OVER (PARTITION BY provider, in_used ORDER BY token)
-                END AS rk
-      FROM proxies)
-    SELECT token, provider, in_used,
-           coalesce(rk = 1, FALSE) AS leased,
-           in_used OR coalesce(rk = 1, FALSE) AS in_used_after
-    FROM ranked
-    """,
-)
-def proxy_token_lease(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 proxy-token lease as a dataflow transition (kafka_monitor/
-    main.py:29-58): first free token per provider wins the lease, winners
-    flip in_used — one window + projection, MERGE-rewritten in the real
-    lifecycle (operators/proxies.py, exercised end-to-end by run_crawl
-    when CrawlParams.proxies_path is set)."""
-    from ..operators.proxies import mark_lease
-
-    s = _t(spark, sf_dir, "supplier")
-    proxies = s.select(
-        F.concat(
-            F.lit("tok"), F.lpad(F.col("s_suppkey").cast("string"), 6, "0")
-        ).alias("token"),
-        F.element_at(
-            F.array(F.lit("crawlera"), F.lit("proxycrawl"), F.lit("proxycrawl_js")),
-            (F.col("s_suppkey") % 3).cast("int") + 1,
-        ).alias("provider"),
-        (F.col("s_suppkey") % 5 == 0).alias("in_used"),
-    )
-    return mark_lease(proxies)
