@@ -50,6 +50,12 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.exact_dedup_groups(_docs(spark, sf_dir), "doc_id")
 
 
+# the production bucket cap, and it BITES at the driver scales: max bucket
+# is 6 at sf0.001 / 5 at sf0.01, so capped output genuinely differs from
+# uncapped — the oracle checks the cap semantics, not a no-op
+MINHASH_BUCKET_CAP = 4
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
@@ -59,19 +65,31 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             min(md5(concat('b1|', shingle))) AS h1,
             min(md5(concat('b2|', shingle))) AS h2,
             min(md5(concat('b3|', shingle))) AS h3
-            FROM sh GROUP BY doc_id)
+            FROM sh GROUP BY doc_id),
+    long AS (SELECT doc_id, concat('0|', h0) AS bucket FROM sig UNION ALL
+             SELECT doc_id, concat('1|', h1) FROM sig UNION ALL
+             SELECT doc_id, concat('2|', h2) FROM sig UNION ALL
+             SELECT doc_id, concat('3|', h3) FROM sig),
+    keep AS (SELECT bucket FROM long
+             GROUP BY bucket HAVING count(*) <= {{cap}}),
+    lk AS (SELECT l.doc_id, l.bucket FROM long l JOIN keep k USING (bucket))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b
-      ON a.doc_id < b.doc_id
-     AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
-    """,
+    FROM lk a JOIN lk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """.replace("{cap}", str(MINHASH_BUCKET_CAP)),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: word-trigram shingles → per-band
-    minhash (lexicographic min of salted md5 — a valid permutation family
-    needing no integer conversion) → bucket self-join → distinct pairs."""
+    """MinHash+LSH near-dup candidates WITH the production bucket cap:
+    word-trigram shingles → per-band minhash (lexicographic min of salted
+    md5 — a valid permutation family needing no integer conversion) →
+    bucket self-join with buckets larger than MINHASH_BUCKET_CAP dropped
+    before the quadratic join (dedupe.lsh_candidate_pairs
+    ``max_bucket_size`` — the degenerate-bucket gate a 100-TB run needs;
+    docs in a dropped bucket still pair through their other bands) →
+    distinct pairs. The oracle mirrors the cap as a HAVING on bucket
+    size, so the gated semantics are the driver-checked ones; the
+    uncapped form stays available via max_bucket_size=None."""
     return dedupe.lsh_candidate_pairs(
-        _docs(spark, sf_dir), "doc_id"
+        _docs(spark, sf_dir), "doc_id", max_bucket_size=MINHASH_BUCKET_CAP
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 

@@ -421,15 +421,6 @@ def run_epoch(
     updated = fr_ops.apply_fetch_outcome(fetched, epoch).select(
         *FRONTIER_COLS, "seq", "status_code", "image_id"
     )
-    if p.emit_child_context:
-        # parent rows fetched THIS epoch are exactly the producers of
-        # this epoch's children — one equi-join on parent_fp rebuilds the
-        # cb_kwargs context (fetchsim.with_parent_context docstring)
-        ctx_rows = fetchsim.with_parent_context(
-            new_rows.select("url", "url_fp", "parent_fp"),
-            updated.filter(F.col("seq").isNotNull()),
-        )
-        ctx_rows.write.parquet(os.path.join(ed, "child_ctx"))
     blocked_rows = (
         blocked.withColumn("status", F.lit("robots_blocked"))
         .withColumn("epoch", F.lit(epoch))
@@ -466,6 +457,25 @@ def run_epoch(
         next_fr.write.parquet(os.path.join(ed, "frontier"))
         _ph["write"] = time.perf_counter() - _t
         stats_src = spark.read.parquet(os.path.join(ed, "frontier"))
+    if p.emit_child_context:
+        # parent rows fetched THIS epoch are exactly the producers of this
+        # epoch's children — one equi-join on parent_fp rebuilds the
+        # cb_kwargs context (fetchsim.with_parent_context docstring).
+        # Derived from the rows JUST WRITTEN (stats_src), not from the
+        # new_rows/updated lineage: re-consuming those would re-run the
+        # whole enqueue-rank pipeline for a third per-epoch action. This
+        # epoch's children are exactly the written rows with epoch==e,
+        # seq NULL (never popped) and status 'pending' (excludes the
+        # robots_blocked carry-overs); its fetch attempts are the written
+        # rows with epoch==e and seq set — the same frames by value.
+        this_e = F.col("epoch") == epoch
+        ctx_rows = fetchsim.with_parent_context(
+            stats_src.filter(
+                this_e & F.col("seq").isNull() & (F.col("status") == "pending")
+            ).select("url", "url_fp", "parent_fp"),
+            stats_src.filter(this_e & F.col("seq").isNotNull()),
+        )
+        ctx_rows.write.parquet(os.path.join(ed, "child_ctx"))
     if p.use_bloom:
         # broadcast-plus-delta maintenance: OR only this epoch's new fps
         # into the table and commit it with the epoch
@@ -637,26 +647,39 @@ def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
 def read_crawl_log(spark: SparkSession, job_dir: str) -> DataFrame:
     """The crawl-order contract: per epoch, the snapshot rows that were
     fetched that epoch (seq non-null ∧ epoch == e) — the log is a
-    projection of the snapshots, not a second table."""
+    projection of the snapshots, not a second table.
+
+    ONE multi-path scan, not a per-epoch union loop: at 10^5 epochs a
+    Union of 10^5 per-epoch reads is a driver-side plan explosion. The
+    per-epoch filter (epoch == e, which in cow mode picks THIS epoch's
+    fetch attempts out of a snapshot that carries every prior epoch's
+    rows — a retried URL logs once per attempt) is recovered from the
+    file path instead: ``recursiveFileLookup`` turns off partition
+    inference (the per-epoch roots would otherwise make Spark infer
+    conflicting epoch/_dbucket partition columns over the common
+    ancestor) and ``input_file_name`` still carries ``epoch=N/``."""
     last = last_committed_epoch(job_dir)
-    out = None
+    srcs = []
     for e in range(1, (last or 0) + 1):
         if not os.path.exists(_commit_path(job_dir, e)):
             continue
         ddir = os.path.join(_epoch_dir(job_dir, e), "delta")
-        src = (
+        srcs.append(
             ddir
             if os.path.isdir(ddir)
             else os.path.join(_epoch_dir(job_dir, e), "frontier")
         )
-        snap = spark.read.parquet(src)
-        log = snap.filter(
-            (F.col("epoch") == e) & F.col("seq").isNotNull()
-        ).select(
-            "epoch", "seq", "url_fp", "domain", "queue_kind", "status_code", "image_id"
-        )
-        out = log if out is None else out.unionByName(log)
-    return out
+    if not srcs:
+        return None
+    snap = spark.read.option("recursiveFileLookup", "true").parquet(*srcs)
+    src_epoch = F.regexp_extract(
+        F.input_file_name(), r"epoch=(\d+)/", 1
+    ).cast("long")
+    return snap.filter(
+        (F.col("epoch") == src_epoch) & F.col("seq").isNotNull()
+    ).select(
+        "epoch", "seq", "url_fp", "domain", "queue_kind", "status_code", "image_id"
+    )
 
 
 def read_final_frontier(spark: SparkSession, job_dir: str) -> DataFrame:
