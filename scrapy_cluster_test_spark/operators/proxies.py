@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .. import locking
+
 PROVIDERS = ("crawlera", "proxycrawl", "proxycrawl_js")
 
 
@@ -104,68 +106,15 @@ def release_tokens(
 
 @contextlib.contextmanager
 def _table_lock(path: str, timeout_s: float = 30.0, poll_s: float = 0.05):
-    """Advisory lock for the lease/release read-modify-write: an O_EXCL
-    lock file next to the table, holding the owner's PID. Cross-process on
-    one filesystem — the sandbox stand-in for the optimistic-commit
-    conflict an Iceberg UPDATE would raise. A lock whose recorded holder
-    is DEAD is broken and retaken (the crash _repair recovers from — a
-    writer dying between _rewrite's renames — is exactly the crash that
-    strands its lock file, so without this the repair path could never
-    run); a lock held by a LIVE process is honored until the timeout."""
-    lock = path.rstrip("/") + ".lock"
-    deadline = time.monotonic() + timeout_s
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            if _lock_holder_dead(lock):
-                # break via atomic rename so concurrent breakers can't
-                # both "unlink" and race a fresh holder's new lock file:
-                # exactly one rename wins, the losers loop and re-check
-                stale = f"{lock}.stale.{os.getpid()}"
-                try:
-                    os.rename(lock, stale)
-                    os.unlink(stale)
-                except FileNotFoundError:
-                    pass
-                continue
-            if time.monotonic() >= deadline:
-                raise TimeoutError(
-                    f"proxies table lock held too long by a live process: "
-                    f"{lock} (if that process is wedged, delete the lock "
-                    f"file and rerun — the table auto-repairs)"
-                )
-            time.sleep(poll_s)
-    try:
-        yield
-    finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
-
-
-def _lock_holder_dead(lock: str) -> bool:
-    """True iff the lock file names a PID that no longer exists. Unreadable
-    or empty lock files (pre-upgrade, or racing with creation) are treated
-    as live so we never break a lock we can't attribute."""
-    try:
-        with open(lock) as f:
-            pid = int(f.read().strip() or "0")
-    except (OSError, ValueError):
-        return False
-    if pid <= 0:
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return True
-    except PermissionError:
-        return False
-    return False
+    """Writer lease for the lease/release read-modify-write — the shared
+    PID lock (locking.pid_lock): dead holders are broken (the crash
+    _repair recovers from — a writer dying between _rewrite's renames —
+    is exactly the crash that strands its lock file), live holders are
+    honored until the timeout (the table auto-repairs on rerun)."""
+    with locking.pid_lock(
+        path, timeout_s=timeout_s, poll_s=poll_s, what="proxies table"
+    ) as lock:
+        yield lock
 
 
 def _repair(path: str) -> None:

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import crawlspec as spec
+from .. import locking
 from ..operators import frontier as fr_ops
 from ..schemas import FRONTIER
 from ..sources import fetchsim
@@ -110,6 +111,11 @@ class CrawlParams:
     # 10^10 regime where ranking the full frontier would dominate, while
     # small frontiers skip the extra shuffle.
     pop_prefilter_salt: int | str | None = "auto"
+    # How long run_crawl waits for a LIVE concurrent writer of the same
+    # job_dir before raising WriterConflict. Short by design: a second
+    # writer is a deployment error, not contention to ride out. Dead
+    # holders' leases are broken immediately regardless.
+    lock_timeout_s: float = 5.0
 
 
 def _epoch_dir(job_dir: str, epoch: int) -> str:
@@ -315,6 +321,7 @@ def run_epoch(
     seq_base: int,
     expected_frontier: int | None = None,
     prev_state: dict | None = None,
+    fence: "callable | None" = None,
 ) -> dict:
     """One frontier epoch; returns the commit record.
 
@@ -602,6 +609,17 @@ def run_epoch(
         "popped": n_popped,
         "n_frontier": n_frontier,
     }
+    # Fencing: the epoch's data files are all written by now, but nothing
+    # is visible until the _COMMIT marker lands. If this writer's job
+    # lease was broken or usurped while it computed (it was presumed dead
+    # but wasn't — the classic zombie writer), publishing would interleave
+    # two writers' epochs. Abort instead; the orphan files are invisible
+    # without the marker and the next resume overwrites them.
+    if fence is not None and not fence():
+        raise locking.WriterConflict(
+            f"job writer lease for {p.job_dir} lost before committing "
+            f"epoch {epoch}; aborting without publishing"
+        )
     with open(_commit_path(p.job_dir, epoch), "w") as f:
         json.dump(rec, f)
     return rec
@@ -610,7 +628,24 @@ def run_epoch(
 def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
     """Run (or resume) the crawl to termination (Q8) or the epoch cap.
 
+    Holds the job-dir writer lease (locking.pid_lock) for the duration:
+    a second live ``run_crawl`` on the same job_dir raises WriterConflict
+    instead of interleaving commits, a lease left by a CRASHED writer is
+    broken automatically (resume then picks up from its last _COMMIT),
+    and every epoch re-checks ownership before publishing its marker
+    (see the fence in run_epoch). Stand-in for a table format's
+    optimistic-commit protocol — locking.py module docstring.
+
     Returns {"epochs": E, "total_fetched": n, ...} summary."""
+    with locking.pid_lock(
+        p.job_dir, timeout_s=p.lock_timeout_s, what="crawl job"
+    ) as lock:
+        return _run_crawl_locked(spark, p, resume, lock)
+
+
+def _run_crawl_locked(
+    spark: SparkSession, p: CrawlParams, resume: bool, lock: str
+) -> dict:
     tokens: dict[str, str] = {}
     if p.proxies_path:
         from ..operators import proxies as proxy_ops
@@ -631,6 +666,7 @@ def run_crawl(spark: SparkSession, p: CrawlParams, resume: bool = True) -> dict:
             state = run_epoch(
                 spark, p, epoch, state["seq_base"], state.get("n_frontier"),
                 prev_state=state,
+                fence=lambda: locking.owns_lock(lock),
             )
     finally:
         if tokens:
