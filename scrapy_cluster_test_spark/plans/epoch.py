@@ -329,8 +329,22 @@ def run_epoch(
     aggregation over the written snapshot (plus the sharded Bloom build
     when enabled). At 10^10 scale the write becomes the Iceberg MERGE and
     the metrics agg an incremental scan of the changed buckets."""
+    _caches: list = []
     if p.commit_mode == "delta":
-        fr = _read_frontier_state(spark, p.job_dir, epoch - 1)
+        # The merge-on-read resolve (base ⊕ k delta layers: union +
+        # last-writer-wins window + anti-join) is consumed several times
+        # per epoch — the pop rank, pop's wide re-attach probe, and the
+        # blocked-rows branch of the delta write. Cow's equivalent is a
+        # cheap parquet re-scan, but re-running the OVERLAY per consumer
+        # makes the epoch cost grow linearly with the delta chain
+        # (measured +35 s/epoch at a 1.5M frontier on 2 cores). Persist
+        # the resolved state once; released with the epoch's caches.
+        from pyspark.storagelevel import StorageLevel
+
+        fr = _read_frontier_state(spark, p.job_dir, epoch - 1).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _caches.append(fr)
     else:
         prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
         fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
@@ -350,10 +364,9 @@ def run_epoch(
             if last_pop and int(prev_state["pending"]) >= 8 * int(last_pop)
             else None
         )
-    # pop_batch's internal rank persists are tracked here and released
+    # pop_batch's internal rank persists join _caches and are released
     # after the epoch's writes — without this the CacheManager accumulates
     # entries per epoch for the lifetime of the crawl (r2 ADVICE)
-    _caches: list = []
     popped = fr_ops.pop_batch(
         allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt,
         cache_registry=_caches,
