@@ -334,17 +334,22 @@ def run_epoch(
         # The merge-on-read resolve (base ⊕ k delta layers: union +
         # last-writer-wins window + anti-join) is consumed several times
         # per epoch — the pop rank, pop's wide re-attach probe, and the
-        # blocked-rows branch of the delta write. Cow's equivalent is a
-        # cheap parquet re-scan, but re-running the OVERLAY per consumer
-        # makes the epoch cost grow linearly with the delta chain
-        # (measured +35 s/epoch at a 1.5M frontier on 2 cores). Persist
-        # the resolved state once; released with the epoch's caches.
-        from pyspark.storagelevel import StorageLevel
-
-        fr = _read_frontier_state(spark, p.job_dir, epoch - 1).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # blocked-rows branch of the delta write — and its k-union
+        # subtree would otherwise be embedded in EVERY downstream plan:
+        # per-epoch wall grew ~5 s per delta layer (sawtooth resetting
+        # at each compaction) even though the resolve alone runs in
+        # 1-2 s, because each of the epoch's several actions re-analyzes
+        # the ever-larger plan and same-job sibling branches race a
+        # plain cache. An EAGER localCheckpoint materializes the
+        # resolved state once (O(frontier) — the same volume cow
+        # re-reads from its snapshot every epoch) and TRUNCATES LINEAGE,
+        # so every downstream plan sees a flat scan regardless of chain
+        # length. The resolve is deterministic, so the checkpoint pins
+        # nothing nondeterministic; cow≡delta stays byte-exact
+        # (tests/test_delta_mode.py).
+        fr = _read_frontier_state(spark, p.job_dir, epoch - 1).localCheckpoint(
+            eager=True
         )
-        _caches.append(fr)
     else:
         prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
         fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
@@ -460,9 +465,19 @@ def run_epoch(
         # listing. A full compacted snapshot every compact_every epochs
         # bounds the delta chain the read path overlays.
         _t = time.perf_counter()
+        # ONE file per touched bucket per epoch: without the repartition,
+        # every shuffle task holding rows of a bucket opens its own file
+        # under _dbucket=K (~tasks × buckets tiny files per layer), and
+        # the merge-on-read resolve re-lists/opens ALL of them each epoch
+        # — profiled as the delta-mode scale-killer (write phase sawtooth
+        # 16→42 s across a compaction cycle at 150k images; serialized
+        # file syscalls, exactly the small-file problem Iceberg solves
+        # with bin-packing). The extra narrow shuffle is O(touched).
         delta_rows.withColumn(
             "_dbucket", F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS))
-        ).write.partitionBy("_dbucket").parquet(os.path.join(ed, "delta"))
+        ).repartition(N_LINEAGE_BUCKETS, F.col("_dbucket")).write.partitionBy(
+            "_dbucket"
+        ).parquet(os.path.join(ed, "delta"))
         _ph["write"] = time.perf_counter() - _t
         if epoch % p.compact_every == 0:
             _read_frontier_state(spark, p.job_dir, epoch, with_audit=True).write.parquet(
