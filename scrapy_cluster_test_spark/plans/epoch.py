@@ -322,6 +322,7 @@ def run_epoch(
     expected_frontier: int | None = None,
     prev_state: dict | None = None,
     fence: "callable | None" = None,
+    carry_io: dict | None = None,
 ) -> dict:
     """One frontier epoch; returns the commit record.
 
@@ -330,26 +331,49 @@ def run_epoch(
     when enabled). At 10^10 scale the write becomes the Iceberg MERGE and
     the metrics agg an incremental scan of the changed buckets."""
     _caches: list = []
+    carried = carried_seen = None
     if p.commit_mode == "delta":
-        # The merge-on-read resolve (base ⊕ k delta layers: union +
-        # last-writer-wins window + anti-join) is consumed several times
-        # per epoch — the pop rank, pop's wide re-attach probe, and the
-        # blocked-rows branch of the delta write — and its k-union
-        # subtree would otherwise be embedded in EVERY downstream plan:
-        # per-epoch wall grew ~5 s per delta layer (sawtooth resetting
-        # at each compaction) even though the resolve alone runs in
-        # 1-2 s, because each of the epoch's several actions re-analyzes
-        # the ever-larger plan and same-job sibling branches race a
-        # plain cache. An EAGER localCheckpoint materializes the
-        # resolved state once (O(frontier) — the same volume cow
-        # re-reads from its snapshot every epoch) and TRUNCATES LINEAGE,
-        # so every downstream plan sees a flat scan regardless of chain
-        # length. The resolve is deterministic, so the checkpoint pins
-        # nothing nondeterministic; cow≡delta stays byte-exact
-        # (tests/test_delta_mode.py).
-        fr = _read_frontier_state(spark, p.job_dir, epoch - 1).localCheckpoint(
-            eager=True
-        )
+        # Delta-mode state handling, two layers:
+        #
+        # 1. CARRIED STATE (the steady-state path): run_crawl threads
+        #    two checkpointed relations between epochs through
+        #    ``carry_io`` — the PENDING frontier (wide rows, what pop
+        #    consumes) and the SEEN fp set (one long column, what the
+        #    Bloom false-positive exact check consumes; the bloom alone
+        #    is not enough — its positives are verified by an exact
+        #    anti-join, seen.filter_new_routed, and a pending-only set
+        #    there re-enqueues already-done URLs: caught by the
+        #    cow≡delta(bloom) equivalence test). The epoch then touches
+        #    NO O(frontier) disk resolve at all; the delta files are the
+        #    durable log (resume, audit, compaction), not the hot read
+        #    path. Requires use_bloom (without the bloom the enqueue
+        #    dedup consumes full frontier ROWS, not fps).
+        # 2. DISK RESOLVE (first epoch of a process / resume / bloom
+        #    off): base ⊕ k delta layers via union + last-writer-wins
+        #    window + anti-join, materialized with an EAGER
+        #    localCheckpoint — without the checkpoint the k-union
+        #    subtree is embedded in every downstream plan and per-epoch
+        #    wall grew ~5 s per delta layer (each of the epoch's several
+        #    actions re-analyzes the ever-larger plan and same-job
+        #    sibling branches race a plain cache) even though the
+        #    resolve alone runs in 1-2 s.
+        #
+        # Both paths yield flat checkpointed scans; the resolve is
+        # deterministic and the carried sets provably equal
+        # resolve(epoch-1).filter(pending) / resolve(epoch-1).fps by
+        # induction (this epoch writes at most one row per url_fp, and
+        # fps never leave the frontier), so cow≡delta stays byte-exact
+        # (tests/test_delta_mode.py, incl. the bloom variant).
+        if p.use_bloom:
+            carried = (carry_io or {}).get("pending")
+            carried_seen = (carry_io or {}).get("seen")
+        if carried is not None and carried_seen is not None:
+            fr = carried  # all-pending FRONTIER_COLS, already checkpointed
+        else:
+            carried_seen = None
+            fr = _read_frontier_state(spark, p.job_dir, epoch - 1).localCheckpoint(
+                eager=True
+            )
     else:
         prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
         fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
@@ -403,7 +427,13 @@ def run_epoch(
     # persist: the candidate-fps subtree and the thinned semi-join both
     # consume children — without this the mapInPandas fan-out runs twice
     children = fetchsim.discover_children(fetched, p.n_images).persist()
-    frontier_fps = fr.select("url_fp")
+    # full seen-fp set: in the carried path fr holds only PENDING rows, so
+    # the done fps come from the carried seen relation instead
+    frontier_fps = (
+        carried_seen
+        if p.commit_mode == "delta" and carried_seen is not None
+        else fr.select("url_fp")
+    )
     if p.use_bloom:
         from ..operators import seen as seen_ops
 
@@ -520,6 +550,41 @@ def run_epoch(
             m_bits,
             n_shards=p.bloom_shards,
         ).write.parquet(os.path.join(ed, "bloom"))
+    if p.commit_mode == "delta" and carry_io is not None and p.use_bloom:
+        # next epoch's pending state = this epoch's pending minus every
+        # touched fp, plus the touched rows that are pending after the
+        # transition (new children + retried pops) — read back from the
+        # JUST-WRITTEN delta files, so the carried set is derived from
+        # the committed bytes, not from lineage over handles that are
+        # unpersisted below. O(pending) anti-join against an O(touched)
+        # side + an eager checkpoint; the previous epoch's checkpoint is
+        # released only after the new one exists and every consumer of
+        # ``fr`` (writes above) has run.
+        nxt = (
+            pending.join(stats_src.select("url_fp"), "url_fp", "left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(
+                stats_src.filter(F.col("status") == "pending").select(
+                    *FRONTIER_COLS
+                )
+            )
+        )
+        carry_io["pending"] = nxt.localCheckpoint(eager=True)
+        # seen fps grow append-only: this epoch's NEW rows (pending,
+        # never popped → seq null; excludes robots_blocked carry-overs
+        # and the seq-stamped fetch outcomes, which are all already
+        # seen) are by construction disjoint from the seen set — a plain
+        # union IS a set, no distinct shuffle needed
+        new_fps = stats_src.filter(
+            (F.col("status") == "pending") & F.col("seq").isNull()
+        ).select("url_fp")
+        old_seen = carry_io.get("seen")
+        carry_io["seen"] = frontier_fps.unionByName(new_fps).localCheckpoint(
+            eager=True
+        )
+        if old_seen is not None:
+            old_seen.unpersist()
+        fr.unpersist()
     fetched.unpersist()
     popped.unpersist()
     children.unpersist()
@@ -689,12 +754,17 @@ def _run_crawl_locked(
             last = 0
         state = read_commit(p.job_dir, last)
         epoch = last
+        # carries the checkpointed pending frontier between delta-mode
+        # epochs (run_epoch docs) — epochs after the first touch no
+        # O(frontier) disk resolve; deltas stay the durable log
+        carry: dict = {}
         while state["pending"] > 0 and epoch < p.max_epochs:
             epoch += 1
             state = run_epoch(
                 spark, p, epoch, state["seq_base"], state.get("n_frontier"),
                 prev_state=state,
                 fence=lambda: locking.owns_lock(lock),
+                carry_io=carry,
             )
     finally:
         if tokens:

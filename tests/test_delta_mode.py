@@ -78,6 +78,29 @@ def test_delta_equals_cow(spark, universe, tmp_path):
     assert snaps == [0, 3, 6], snaps
 
 
+def test_delta_bloom_carry_equals_cow(spark, universe, tmp_path):
+    """The carried-state fast path (use_bloom=True threads checkpointed
+    pending + seen relations between epochs, skipping the per-epoch disk
+    resolve entirely) must stay byte-identical to cow. Regression test
+    for the bug where the carried SEEN set held only pending fps: the
+    Bloom exact-verification anti-join (seen.filter_new_routed) then
+    re-enqueued already-done URLs, silently shifting enqueue ranks."""
+    cow, dlt = str(tmp_path / "cow"), str(tmp_path / "dlt")
+    ep.run_crawl(spark, _params(cow, "cow", use_bloom=True))
+    ep.run_crawl(spark, _params(dlt, "delta", compact_every=3, use_bloom=True))
+    assert _log(spark, dlt) == _log(spark, cow)
+    assert _final(spark, dlt) == _final(spark, cow)
+
+    # and a mid-chain resume (fresh process state: carry starts empty,
+    # first epoch falls back to the disk resolve) converges identically
+    part = str(tmp_path / "part")
+    p_short = _params(part, "delta", compact_every=3, use_bloom=True)
+    p_short.max_epochs = 4
+    ep.run_crawl(spark, p_short)
+    ep.run_crawl(spark, _params(part, "delta", compact_every=3, use_bloom=True))
+    assert _log(spark, part) == _log(spark, cow)
+
+
 def test_delta_resume_mid_chain(spark, universe, tmp_path):
     """Kill after a committed delta epoch (no compaction yet) → rerun
     resumes and converges to the same final state as an uninterrupted
