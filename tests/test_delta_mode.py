@@ -77,6 +77,16 @@ def test_delta_equals_cow(spark, universe, tmp_path):
     )
     assert snaps == [0, 3, 6], snaps
 
+    # bin-packing invariant: each delta layer writes AT MOST one file per
+    # touched _dbucket (without the pre-write repartition, every shuffle
+    # task opens its own file per bucket and the merge-on-read resolve
+    # re-lists ~tasks x buckets tiny files per layer — the r4-profiled
+    # delta scale-killer)
+    for layer in glob.glob(f"{dlt}/epoch=*/delta"):
+        buckets = glob.glob(f"{layer}/_dbucket=*")
+        files = glob.glob(f"{layer}/_dbucket=*/*.parquet")
+        assert buckets and len(files) <= len(buckets), (layer, len(files))
+
 
 def test_delta_bloom_carry_equals_cow(spark, universe, tmp_path):
     """The carried-state fast path (use_bloom=True threads checkpointed
