@@ -181,16 +181,9 @@ extra = {{}}
 if mode == "decode":
     from scrapy_cluster_test_spark.operators import multimodal
     from pyspark.sql import functions as F
-    # Binary-heavy Arrow transfer: the session default of 10k records per
-    # batch means ~200 MB Arrow batches of image bytes PER python worker
-    # (k workers in flight at local[k]) — the r1/r2 8→32-core knee.
-    # Small batches keep the per-worker resident set flat; env-tunable so
-    # the mitigation is measurable (SCT_ARROW_BATCH=10000 reproduces the
-    # old behavior).
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch",
-        os.environ.get("SCT_ARROW_BATCH", "512"),
-    )
+    # Engine-level binary-batch mitigation (the r1/r2 8→32-core decode
+    # knee); SCT_ARROW_BATCH=10000 reproduces the old behavior.
+    multimodal.configure_arrow_for_binary(spark)
     log = ep.read_crawl_log(spark, job).select("image_id").distinct()
     images = spark.read.parquet(f"{{universe}}/images.parquet")
     t1 = time.perf_counter()

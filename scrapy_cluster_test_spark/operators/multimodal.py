@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame
 from ..datagen import _row_rng, _SIZES
 from ..functions.imagecodec import decode_image, phash64, psnr
 
+# Arrow records/batch for binary-payload stages. The session default
+# (10k, fine for scalar columns) turns into ~200 MB Arrow batches when a
+# row carries image bytes — k python workers each holding one in flight
+# at local[k] blew resident sets up and serialized the socket writes
+# (measured: the r1 8→32-core decode INVERSION, 45.5 s → 122.2 s; with
+# 512 the same phase reads 14.6 s → 8.7 s — BENCH/BASELINE.md, decode
+# knee section).
+BINARY_ARROW_RECORDS_PER_BATCH = 512
+
+
+def configure_arrow_for_binary(spark, records_per_batch: int | None = None) -> None:
+    """Bound Arrow batch ROW counts before running the binary-column
+    operators below. Session-level because maxRecordsPerBatch is the only
+    batch-size dial Spark exposes to Python UDF transfer; call once per
+    binary pipeline (idempotent), or set SCT_ARROW_BATCH to override."""
+    import os
+
+    n = records_per_batch or int(
+        os.environ.get("SCT_ARROW_BATCH", BINARY_ARROW_RECORDS_PER_BATCH)
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(n))
+
+
 VERIFY_SCHEMA = (
     "image_id string, fmt string, psnr_db double, caption_ok boolean, "
     "shape_ok boolean, phash_rehash long"

@@ -49,3 +49,22 @@ def test_feature_extraction_shape(spark, images):
     assert len(rows) == 10
     for r in rows:
         assert 0 <= r.mean_r <= 255 and 0 <= r.luma_p50 <= 255 and r.contrast > 0
+
+
+def test_configure_arrow_for_binary(spark, images, monkeypatch):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        multimodal.configure_arrow_for_binary(spark)
+        assert spark.conf.get(key) == str(multimodal.BINARY_ARROW_RECORDS_PER_BATCH)
+        # env override wins when no explicit value is passed
+        monkeypatch.setenv("SCT_ARROW_BATCH", "1024")
+        multimodal.configure_arrow_for_binary(spark)
+        assert spark.conf.get(key) == "1024"
+        # explicit argument beats the env
+        multimodal.configure_arrow_for_binary(spark, records_per_batch=256)
+        assert spark.conf.get(key) == "256"
+        # the operators still run under the bounded batch size
+        assert multimodal.verify_payloads(images.limit(5)).count() == 5
+    finally:
+        spark.conf.set(key, prev)
