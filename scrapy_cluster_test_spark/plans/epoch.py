@@ -578,12 +578,28 @@ def run_epoch(
         new_fps = stats_src.filter(
             (F.col("status") == "pending") & F.col("seq").isNull()
         ).select("url_fp")
+        # INCREMENTAL seen checkpoints: re-materializing the full seen set
+        # every epoch is O(seen) per-epoch work that grows without bound —
+        # at the 10^10 design point it is a TB-scale copy per epoch,
+        # exactly the term delta mode exists to remove. Instead checkpoint
+        # only this epoch's NEW fps (O(touched)) and carry the seen set as
+        # a lazy union of flat checkpointed scans; the layer list is
+        # re-flattened into one checkpoint every compact_every epochs (the
+        # same knob that bounds the delta-file chain), so plan depth stays
+        # ≤ compact_every and old layer handles are released only after
+        # the flattened replacement exists.
+        seen_parts = carry_io.setdefault("seen_parts", [])
         old_seen = carry_io.get("seen")
-        carry_io["seen"] = frontier_fps.unionByName(new_fps).localCheckpoint(
-            eager=True
-        )
-        if old_seen is not None:
-            old_seen.unpersist()
+        if old_seen is None or len(seen_parts) >= p.compact_every:
+            flat = frontier_fps.unionByName(new_fps).localCheckpoint(eager=True)
+            for h in seen_parts:
+                h.unpersist()
+            seen_parts[:] = [flat]
+            carry_io["seen"] = flat
+        else:
+            inc = new_fps.localCheckpoint(eager=True)
+            seen_parts.append(inc)
+            carry_io["seen"] = old_seen.unionByName(inc)
         fr.unpersist()
     fetched.unpersist()
     popped.unpersist()
