@@ -148,3 +148,137 @@ def test_job_commands_end_to_end_readstream(spark, tmp_path):
     # 3 seed urls, 1 duplicate fingerprint → 2 distinct frontier rows
     assert out.select("url_fp").distinct().count() == 2
     assert out.count() == 2
+
+
+def _mk_candidates(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["domain", "url_fp", "priority", "crawl_time"]).astype(
+        {"url_fp": "int64", "priority": "int32", "crawl_time": "int64"}
+    )
+
+
+def test_throttled_dispatch_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState politeness throttle: per-domain budgets are
+    enforced ACROSS micro-batches (batch 2 sees budget batch 1 already
+    spent), dispatch order within a batch is the engine's POP_ORDER, and
+    the whole stream matches the driver-side reference fold."""
+    import pandas as pd
+
+    from scrapy_cluster_test_spark.streaming import throttle
+
+    budget = 3
+    # batch 0: hot domain d0 has 4 candidates (one over budget already),
+    # d1 has 1; batch 1: d0 has 2 more (must ALL be dropped: state says
+    # used==3), d1 has 3 more (only 2 fit), new d2 appears
+    b0 = _mk_candidates(
+        [
+            ("d0", 104, 1, 40),
+            ("d0", 101, 0, 10),
+            ("d0", 103, 0, 30),  # loses to 101 on crawl_time, beats 104 on priority
+            ("d0", 102, 0, 30),  # ties 103; url_fp breaks the tie
+            ("d1", 201, 5, 99),
+        ]
+    )
+    b1 = _mk_candidates(
+        [
+            ("d0", 105, 0, 1),  # over budget — dropped despite best priority
+            ("d0", 106, 0, 2),
+            ("d1", 202, 0, 7),
+            ("d1", 204, 1, 8),
+            ("d1", 203, 1, 8),  # loses the last slot to 204? no: url_fp asc → 203 wins
+            ("d2", 301, 2, 5),
+        ]
+    )
+    src = tmp_path / "cand_stream"
+    src.mkdir()
+    f0, f1 = str(src / "b0.parquet"), str(src / "b1.parquet")
+    b0.to_parquet(f0, index=False)
+    b1.to_parquet(f1, index=False)
+    os.utime(f0, (1_000_000, 1_000_000))  # force source order b0 → b1
+    os.utime(f1, (2_000_000, 2_000_000))
+
+    schema = spark.createDataFrame(b0).schema
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        throttle.throttled_dispatch(stream_in, budget)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("throttle_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM throttle_out")
+        .toPandas()
+        .sort_values(["domain", "dispatch_seq"])
+        .reset_index(drop=True)
+    )
+    want = (
+        throttle.reference_fold([b0, b1], budget)
+        .sort_values(["domain", "dispatch_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"dispatch_seq": "int64"}),
+        want.astype({"url_fp": "int64", "dispatch_seq": "int64"}),
+        check_dtype=False,
+    )
+    # the cross-batch facts the stateless window CANNOT produce:
+    assert list(want[want.domain == "d0"].url_fp) == [101, 102, 103]  # 105/106 dropped
+    assert list(want[want.domain == "d1"].url_fp) == [201, 202, 203]
+    assert list(want[want.domain == "d2"].url_fp) == [301]
+
+
+def test_throttled_dispatch_single_batch_equals_batch_rank(spark, tmp_path):
+    """On a one-batch stream the throttle equals the batch engine's
+    per-domain budget rank (row_number over POP_ORDER ≤ budget)."""
+    from pyspark.sql.window import Window as W
+
+    from scrapy_cluster_test_spark.streaming import throttle
+
+    budget = 2
+    pdf = _mk_candidates(
+        [
+            ("e%d" % (i % 5), 1000 + i, i % 3, (7 * i) % 11)
+            for i in range(40)
+        ]
+    )
+    src = tmp_path / "single"
+    src.mkdir()
+    pdf.to_parquet(str(src / "all.parquet"), index=False)
+
+    batch_df = spark.read.parquet(str(src))
+    w = W.partitionBy("domain").orderBy("priority", "crawl_time", "url_fp")
+    want = (
+        batch_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= budget)
+        .withColumn("dispatch_seq", (F.col("rn") - 1).cast("int"))
+        .select("domain", "url_fp", "priority", "crawl_time", "dispatch_seq")
+    )
+
+    stream_in = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    q = (
+        throttle.throttled_dispatch(stream_in, budget)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("throttle_single")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM throttle_single")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(want)
+    assert got.count() > 0
