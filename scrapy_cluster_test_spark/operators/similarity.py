@@ -549,3 +549,165 @@ def brute_force_topk_numpy(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+# Deterministic, oracle-mirrorable IVF: centroids are the n_centroids
+# corpus vectors with the smallest md5(vec_id) (a seedless pseudo-random
+# sample both engines can reproduce — the same md5 trick as the LSH
+# planes), every vector joins the inverted list of its nearest centroid,
+# and a query probes its n_probe nearest lists. Unlike LSH (which needs
+# no training but pays multi-table code derivation), IVF pays one
+# N×C broadcast nested-loop assignment and then each query scans
+# ~n_probe/C of the corpus — the classic FAISS IVF-flat trade
+# (Johnson et al., "Billion-scale similarity search with GPUs").
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic coarse quantizer: corpus vectors ordered by
+    md5(id). At 10^10 rows this is a TakeOrdered over a one-column
+    projection — no shuffle of the embeddings themselves."""
+    return (
+        vectors.select(
+            F.col(id_col).alias("cid"),
+            F.col(emb_col).alias("emb_c"),
+            norm_col(F.col(emb_col)).alias("norm_c"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(n_centroids)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k. Output contract identical to
+    ``ann_topk_lsh``: (query_id, neighbor_id, rnk), rnk by (cosine desc,
+    neighbor id), possibly < k rows for sparse probes.
+
+    Scale shape: the assignment is a BROADCAST nested-loop against C
+    centroid rows (never a shuffle of the 10^10-row corpus) followed by a
+    map-side-combinable ``max_by`` per vector — each vector's C candidate
+    rows are produced inside one partition, so the argmin aggregation is
+    a near-zero-byte exchange. Candidates come from an equi-join on the
+    centroid id (each vector lives in exactly ONE list, so no distinct is
+    needed), and only probed-list members pay the exact ordered-fold
+    cosine. At 10^10 raise n_centroids ~ √N and bucket the corpus table
+    by ``cid`` so probes prune at file listing, like the frontier's
+    lineage buckets."""
+    cents = F.broadcast(ivf_centroids(vectors, n_centroids, id_col, emb_col))
+    vn = vectors.select(
+        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
+    )
+    sim = vn.crossJoin(cents).withColumn(
+        "cs", dot_cols(emb_col, "emb_c") / (F.col("nr") * F.col("norm_c"))
+    )
+    # nearest centroid, ties broken toward the smaller cid (max of the
+    # (cs, -cid) struct) — partial-aggregable, unlike a row_number window
+    assign = sim.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")))).alias("cid")
+    )
+    qsim = sim.join(queries.select(id_col), id_col, "left_semi")
+    wq = W.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cid"))
+    probes = (
+        qsim.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    cand = probes.join(
+        assign.select(F.col(id_col).alias("neighbor_id"), "cid"), "cid"
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id"
+    )
+    pair = cand.join(
+        vn.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("emb_q"),
+            F.col("nr").alias("norm_q"),
+        ),
+        "query_id",
+    ).join(
+        vn.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("emb_v"),
+            F.col("nr").alias("norm_v"),
+        ),
+        "neighbor_id",
+    )
+    scored = pair.withColumn(
+        "cosine", dot_cols("emb_q", "emb_v") / (F.col("norm_q") * F.col("norm_v"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def ivf_topk_oracle_sql(
+    k: int = 5,
+    query_every: int = 50,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB oracle for ``ivf_topk`` with queries = vec_id % query_every
+    == 0 — identical md5-ordered centroid pick, element-ordered float
+    folds, (cs desc, cid) tie-breaks, then the top-k window."""
+    return f"""
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x ORDER BY i)) AS nr FROM ex GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cid FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}),
+    cdot AS (SELECT e.vec_id, c.cid, sum(e.x * ec.x ORDER BY e.i) AS dot
+             FROM ex e JOIN cents c ON TRUE
+             JOIN ex ec ON ec.vec_id = c.cid AND ec.i = e.i
+             GROUP BY e.vec_id, c.cid),
+    csim AS (SELECT d.vec_id, d.cid, d.dot / (nv.nr * nc.nr) AS cs
+             FROM cdot d JOIN nrm nv ON nv.vec_id = d.vec_id
+                         JOIN nrm nc ON nc.vec_id = d.cid),
+    assign AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, cid) AS rn
+                 FROM csim) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, cid) AS rn
+                 FROM csim WHERE vec_id % {query_every} = 0)
+               WHERE rn <= {n_probe}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assign a ON a.cid = p.cid
+             WHERE a.vec_id != p.query_id),
+    dotp AS (SELECT c.query_id, c.neighbor_id,
+                    sum(ea.x * eb.x ORDER BY ea.i) AS dot
+             FROM cand c
+             JOIN ex ea ON ea.vec_id = c.query_id
+             JOIN ex eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+             GROUP BY c.query_id, c.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id, dot / (na.nr * nb.nr) AS c
+               FROM dotp JOIN nrm na ON na.vec_id = query_id
+                         JOIN nrm nb ON nb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
