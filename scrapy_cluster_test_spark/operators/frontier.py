@@ -271,6 +271,7 @@ def pop_batch(
     seq_base: int,
     prefilter_salt: int | None = None,
     cache_registry: list | None = None,
+    big_pop_hint: bool = False,
 ) -> DataFrame:
     """Politeness-budgeted, deterministic frontier pop.
 
@@ -404,13 +405,19 @@ def pop_batch(
     #   bound seqs at ~10^4-10^5 rows) → BROADCAST seqs: the 10^10-row
     #   wide side is scanned in place (hash-probe pushdown), never
     #   shuffled or sorted.
-    # * uncapped fat pop (kernel bench: seqs ~ frontier/2, millions of
-    #   rows) → SHUFFLE_HASH: a broadcast build of an N-million-row hash
-    #   relation is single-threaded driver work LINEAR in the popped
-    #   batch (~35 s at 5M pops — measured as the dominant non-scaling
-    #   term of the N→4N kernel bench), while the shuffle join moves both
-    #   sides in parallel and builds per-partition maps on every core.
-    if seller_cap is None and asin_cap is None and not prefilter_salt:
+    # * fat pop (uncapped kernel epochs — seqs ~ frontier/2 — or a capped
+    #   epoch whose caller KNOWS the pop will be large, signalled via
+    #   ``big_pop_hint``; the epoch driver derives the hint from the
+    #   previous commit's popped count, a data-dependent and therefore
+    #   parallelism-independent signal) → SHUFFLE_HASH: a broadcast build
+    #   of an N-row hash relation is single-threaded driver work LINEAR
+    #   in the popped batch (~7 µs/row — 35 s at 5M pops, measured as the
+    #   dominant non-scaling term of the N→4N kernel bench; still ~1.5 s
+    #   of serial per-epoch cost at the 200k-pop fat-sched shape), while
+    #   the shuffle join moves both sides in parallel and builds
+    #   per-partition maps on every core. Join OUTPUT is identical either
+    #   way, so crawl logs stay byte-exact across the strategy switch.
+    if (seller_cap is None and asin_cap is None and not prefilter_salt) or big_pop_hint:
         return cand.drop("kind_rank").join(seqs.hint("SHUFFLE_HASH"), "url_fp")
     return cand.drop("kind_rank").join(F.broadcast(seqs), "url_fp")
 

@@ -32,7 +32,7 @@ import shutil
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import crawlspec as spec
@@ -314,6 +314,49 @@ def _read_frontier_state(
     return merged.select(*cols)
 
 
+_AGG_KEYS = (
+    "n_popped", "n_new", "n_blocked", "n_pending", "n_ended", "n_frontier",
+    "sc_200", "sc_404", "sc_429", "sc_503", "sc_520",
+)
+
+
+def _metric_exprs(epoch: int) -> list:
+    """Aggregate expressions for the epoch's counter tree (A3/A4) plus the
+    16 per-bucket lineage counters, shaped for ``DataFrame.observe``: the
+    metrics ride along the snapshot/delta WRITE action itself (CollectMetrics
+    accumulators merged at task completion), so the epoch pays ZERO extra
+    scans or jobs for its metrics — previously a second full pass over the
+    written snapshot per epoch (O(frontier) re-read in cow mode)."""
+    this_epoch = F.col("epoch") == epoch
+    fetched_now = this_epoch & F.col("seq").isNotNull()
+    bucket = F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS))
+    return [
+        F.sum(fetched_now.cast("long")).alias("n_popped"),
+        F.sum(
+            (this_epoch & (F.col("status") == "pending") & (F.col("retry_times") == 0))
+            .cast("long")
+        ).alias("n_new"),
+        F.sum(
+            (this_epoch & (F.col("status") == "robots_blocked")).cast("long")
+        ).alias("n_blocked"),
+        F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
+        F.sum(
+            (fetched_now & F.col("status").isin("done", "failed")).cast("long")
+        ).alias("n_ended"),
+        F.count(F.lit(1)).alias("n_frontier"),
+        *[
+            F.sum((fetched_now & (F.col("status_code") == sc)).cast("long")).alias(
+                f"sc_{sc}"
+            )
+            for sc in (200, 404, 429, 503, 520)
+        ],
+        *[
+            F.sum((fetched_now & (bucket == b)).cast("long")).alias(f"pop_b{b}")
+            for b in range(N_LINEAGE_BUCKETS)
+        ],
+    ]
+
+
 def run_epoch(
     spark: SparkSession,
     p: CrawlParams,
@@ -331,6 +374,7 @@ def run_epoch(
     when enabled). At 10^10 scale the write becomes the Iceberg MERGE and
     the metrics agg an incremental scan of the changed buckets."""
     _caches: list = []
+    _t_epoch = time.perf_counter()
     carried = carried_seen = None
     if p.commit_mode == "delta":
         # Delta-mode state handling, two layers:
@@ -396,9 +440,17 @@ def run_epoch(
     # pop_batch's internal rank persists join _caches and are released
     # after the epoch's writes — without this the CacheManager accumulates
     # entries per epoch for the lifetime of the crawl (r2 ADVICE)
+    # fat-epoch hint: last epoch's popped count predicts this one's scale;
+    # ≥150k rows means (a) the broadcast build of the seqs re-attach
+    # relation would be ~1s+ of serial driver work per epoch (see
+    # pop_batch docstring) and (b) the pop touches essentially every
+    # image bucket, so the bucket-prune driver round-trip is wasted.
+    # Data-dependent → identical at every parallelism level, so crawl
+    # logs stay byte-exact.
+    big_pop = bool(prev_state and int(prev_state.get("popped") or 0) >= 150_000)
     popped = fr_ops.pop_batch(
         allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt,
-        cache_registry=_caches,
+        cache_registry=_caches, big_pop_hint=big_pop,
     )
     _ph["pop_rank"] = time.perf_counter() - _t
     if p.fetch_partitions:
@@ -412,9 +464,12 @@ def run_epoch(
     payload = fetchsim.join_payload(
         popped,
         images,
-        # bucket pruning pays only when caps bound the pop; an uncapped
-        # epoch touches every bucket, so skip the extra job barrier
-        prune_buckets=(p.seller_cap is not None or p.asin_cap is not None),
+        # bucket pruning pays only when caps bound the pop AND the batch
+        # is small; an uncapped or known-fat epoch touches every bucket,
+        # so skip the extra job barrier
+        prune_buckets=(
+            (p.seller_cap is not None or p.asin_cap is not None) and not big_pop
+        ),
     )
     _ph["pop+buckets"] = time.perf_counter() - _t
     fetched = fetchsim.fetch_statuses(payload).persist()
@@ -486,7 +541,12 @@ def run_epoch(
         .unionByName(_null_audit(new_rows))
         .select(*SNAPSHOT_COLS)
     )
+    # metrics ride the write action itself (CollectMetrics, see
+    # _metric_exprs) — the aggregation source is the rows being written:
+    # the full snapshot in cow mode, the touched rows in delta mode
+    _obs = Observation()
     if p.commit_mode == "delta":
+        delta_rows = delta_rows.observe(_obs, *_metric_exprs(epoch))
         # O(touched) commit: only the rows this epoch changed hit disk,
         # PARTITIONED by pmod(domain_hash, N_LINEAGE_BUCKETS) — the
         # sandbox form of an Iceberg MERGE into a bucket-partitioned
@@ -510,14 +570,21 @@ def run_epoch(
         ).parquet(os.path.join(ed, "delta"))
         _ph["write"] = time.perf_counter() - _t
         if epoch % p.compact_every == 0:
+            _t = time.perf_counter()
             _read_frontier_state(spark, p.job_dir, epoch, with_audit=True).write.parquet(
                 os.path.join(ed, "frontier")
             )
+            _ph["compact"] = time.perf_counter() - _t
         stats_src = spark.read.parquet(os.path.join(ed, "delta"))
     else:
         touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
         untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
-        next_fr = _null_audit(untouched).select(*SNAPSHOT_COLS).unionByName(delta_rows)
+        next_fr = (
+            _null_audit(untouched)
+            .select(*SNAPSHOT_COLS)
+            .unionByName(delta_rows)
+            .observe(_obs, *_metric_exprs(epoch))
+        )
         _t = time.perf_counter()
         next_fr.write.parquet(os.path.join(ed, "frontier"))
         _ph["write"] = time.perf_counter() - _t
@@ -544,12 +611,14 @@ def run_epoch(
     if p.use_bloom:
         # broadcast-plus-delta maintenance: OR only this epoch's new fps
         # into the table and commit it with the epoch
+        _t = time.perf_counter()
         seen_ops.bloom_or_new(
             shard_bitmaps,
             new_rows.select("url_fp"),
             m_bits,
             n_shards=p.bloom_shards,
         ).write.parquet(os.path.join(ed, "bloom"))
+        _ph["bloom_write"] = time.perf_counter() - _t
     if p.commit_mode == "delta" and carry_io is not None and p.use_bloom:
         # next epoch's pending state = this epoch's pending minus every
         # touched fp, plus the touched rows that are pending after the
@@ -560,6 +629,7 @@ def run_epoch(
         # side + an eager checkpoint; the previous epoch's checkpoint is
         # released only after the new one exists and every consumer of
         # ``fr`` (writes above) has run.
+        _t = time.perf_counter()
         nxt = (
             pending.join(stats_src.select("url_fp"), "url_fp", "left_anti")
             .select(*FRONTIER_COLS)
@@ -570,6 +640,7 @@ def run_epoch(
             )
         )
         carry_io["pending"] = nxt.localCheckpoint(eager=True)
+        _ph["carry_pending"] = time.perf_counter() - _t
         # seen fps grow append-only: this epoch's NEW rows (pending,
         # never popped → seq null; excludes robots_blocked carry-overs
         # and the seq-stamped fetch outcomes, which are all already
@@ -588,6 +659,7 @@ def run_epoch(
         # same knob that bounds the delta-file chain), so plan depth stays
         # ≤ compact_every and old layer handles are released only after
         # the flattened replacement exists.
+        _t = time.perf_counter()
         seen_parts = carry_io.setdefault("seen_parts", [])
         old_seen = carry_io.get("seen")
         if old_seen is None or len(seen_parts) >= p.compact_every:
@@ -601,67 +673,29 @@ def run_epoch(
             seen_parts.append(inc)
             carry_io["seen"] = old_seen.unionByName(inc)
         fr.unpersist()
+        _ph["carry_seen"] = time.perf_counter() - _t
     fetched.unpersist()
     popped.unpersist()
     children.unpersist()
     for _c in _caches:
         _c.unpersist()
 
-    # ---- metrics (A3/A4 counter tree) — ONE aggregation over what was
-    # written (full snapshot in cow mode, the touched rows in delta mode)
-    # plus per-partition lineage rows: fetch counts per domain-hash bucket
-    # (north rule: "every frontier epoch checkpoints per-partition lineage
-    # and fetch metrics"), enabling partial-progress audit per bucket.
+    # ---- metrics (A3/A4 counter tree) — collected DURING the write via
+    # DataFrame.observe (_metric_exprs): the counter tree and the 16
+    # per-bucket lineage counters (north rule: "every frontier epoch
+    # checkpoints per-partition lineage and fetch metrics") cost no extra
+    # scan or job — the write action's tasks merge them as accumulators.
     # In delta mode the frontier-wide counters (pending/total) are carried
     # INCREMENTALLY from the previous commit record, so per-epoch metric
     # cost is O(touched) too.
-    this_epoch = (F.col("epoch") == epoch)
-    fetched_now = this_epoch & F.col("seq").isNotNull()
-    # ONE grouped pass serves both the per-bucket lineage rows AND every
-    # frontier-wide counter: grouping by the 16 lineage buckets costs the
-    # same scan the global agg needs anyway, and the globals are just sums
-    # of 16 driver-local rows — previously this was two full scans of the
-    # written snapshot per epoch.
     _t = time.perf_counter()
-    per_bucket = (
-        stats_src.groupBy(
-            F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS)).alias("b")
-        )
-        .agg(
-            F.sum(fetched_now.cast("long")).alias("n_popped"),
-            F.sum(
-                (this_epoch & (F.col("status") == "pending") & (F.col("retry_times") == 0))
-                .cast("long")
-            ).alias("n_new"),
-            F.sum(
-                (this_epoch & (F.col("status") == "robots_blocked")).cast("long")
-            ).alias("n_blocked"),
-            F.sum((F.col("status") == "pending").cast("long")).alias("n_pending"),
-            F.sum(
-                (fetched_now & F.col("status").isin("done", "failed")).cast("long")
-            ).alias("n_ended"),
-            F.count("*").alias("n_frontier"),
-            *[
-                F.sum((fetched_now & (F.col("status_code") == sc)).cast("long")).alias(
-                    f"sc_{sc}"
-                )
-                for sc in (200, 404, 429, 503, 520)
-            ],
-        )
-        .collect()
-    )
+    vals = _obs.get  # ready: the write action above already ran
     lineage = [
-        {"b": r["b"], "n": int(r["n_popped"] or 0)}
-        for r in per_bucket
-        if int(r["n_popped"] or 0) > 0
+        {"b": b, "n": int(vals[f"pop_b{b}"] or 0)}
+        for b in range(N_LINEAGE_BUCKETS)
+        if int(vals[f"pop_b{b}"] or 0) > 0
     ]
-    agg = {
-        k: sum(int(r[k] or 0) for r in per_bucket)
-        for k in (
-            "n_popped", "n_new", "n_blocked", "n_pending", "n_ended", "n_frontier",
-            "sc_200", "sc_404", "sc_429", "sc_503", "sc_520",
-        )
-    }
+    agg = {k: int(vals[k] or 0) for k in _AGG_KEYS}
     _ph["agg"] = time.perf_counter() - _t
     n_popped = int(agg["n_popped"] or 0)
     if p.commit_mode == "delta":
@@ -705,6 +739,7 @@ def run_epoch(
     ).coalesce(1).write.parquet(os.path.join(ed, "metrics"))
     _ph["metrics"] = time.perf_counter() - _t
     if os.environ.get("SCT_EPOCH_TIMING") == "1":
+        _ph["total"] = time.perf_counter() - _t_epoch
         print(
             f"EPOCH_TIMING {epoch} "
             + " ".join(f"{k}={v:.2f}" for k, v in _ph.items()),
