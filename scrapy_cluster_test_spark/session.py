@@ -30,9 +30,14 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    b = SparkSession.builder
+    # Under spark-submit the launcher JVM already owns spark.master (the
+    # --master flag): PYSPARK_GATEWAY_PORT marks that gateway, and setting
+    # .master() here would silently override the submit-time cluster choice.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
