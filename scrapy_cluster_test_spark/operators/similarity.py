@@ -622,7 +622,17 @@ def ivf_topk(
     assign = sim.groupBy(id_col).agg(
         F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")))).alias("cid")
     )
-    qsim = sim.join(queries.select(id_col), id_col, "left_semi")
+    # query-side centroid similarities: semi-join FIRST, then the C-way
+    # expansion — dotting N×C rows just to keep N/query_every of them
+    # would run the corpus-wide pass a second time (the `sim` subtree is
+    # not persisted, so its two consumers each rebuild it)
+    qsim = (
+        vn.join(queries.select(id_col), id_col, "left_semi")
+        .crossJoin(cents)
+        .withColumn(
+            "cs", dot_cols(emb_col, "emb_c") / (F.col("nr") * F.col("norm_c"))
+        )
+    )
     wq = W.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cid"))
     probes = (
         qsim.withColumn("rn", F.row_number().over(wq))

@@ -610,11 +610,24 @@ def run_epoch(
         ctx_rows.write.parquet(os.path.join(ed, "child_ctx"))
     if p.use_bloom:
         # broadcast-plus-delta maintenance: OR only this epoch's new fps
-        # into the table and commit it with the epoch
+        # into the table and commit it with the epoch. The fps are read
+        # back from the JUST-WRITTEN rows (same derivation as carry_seen
+        # below: epoch==e, status pending, never popped → seq null), NOT
+        # from the new_rows lineage — the bloom write is its own action,
+        # and consuming the unpersisted enqueue-rank pipeline here would
+        # re-run the whole children/probe/rank subtree the commit write
+        # just computed (profiled at 6-22 s/epoch at 150k images — the
+        # same cross-action recompute child_ctx and the carries already
+        # avoid).
         _t = time.perf_counter()
+        committed_new_fps = stats_src.filter(
+            (F.col("epoch") == epoch)
+            & (F.col("status") == "pending")
+            & F.col("seq").isNull()
+        ).select("url_fp")
         seen_ops.bloom_or_new(
             shard_bitmaps,
-            new_rows.select("url_fp"),
+            committed_new_fps,
             m_bits,
             n_shards=p.bloom_shards,
         ).write.parquet(os.path.join(ed, "bloom"))
