@@ -188,3 +188,37 @@ def test_ivf_centroids_deterministic(spark):
         for r in similarity.ivf_centroids(e.repartition(13)).collect()
     ]
     assert a == b and len(a) == similarity.IVF_CENTROIDS
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """IVF's design assumption is that vectors CLUSTER (real embedding
+    corpora do — the sf tables' uniform vectors are the adversarial
+    case). On a corpus of 40 well-separated Gaussian clusters, the
+    md5-picked coarse quantizer plus n_probe=4 probing must recover
+    nearly all true neighbors: a query's top-k live in its own cluster,
+    and some seed vector of that cluster is (with high probability
+    across 40 clusters x 50 members) among the 16 md5-chosen centroids
+    or close to one. Deterministic inputs; floor 0.9."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(40, DIM)) * 10.0
+    rows = []
+    vid = 0
+    for c in range(40):
+        for _ in range(50):
+            v = centers[c] + rng.normal(size=DIM) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(e, q, k=5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
