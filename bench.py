@@ -56,6 +56,16 @@ def main() -> None:
         out["scaling_eff_n_to_4n"] = round(r["scaling_efficiency"], 2)
     except Exception:
         pass
+    try:
+        # full sched epochs (commit IO + bloom + metrics), delta mode
+        with open(
+            os.path.join(bench_dir, "scaling_sched_3m_s500_2v8_delta.json")
+        ) as f:
+            r = json.load(f)
+        out["sched_urls_per_sec"] = round(r["high"]["urls_per_sec"], 1)
+        out["sched_scaling_eff"] = round(r["scaling_efficiency"], 2)
+    except Exception:
+        pass
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
