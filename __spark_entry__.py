@@ -30,9 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return _catalog.catalog()["frontier_pop_topk"].builder(spark, "/root/testdata/sf0.001")
 
 
+# The driver checks at most 50 queries in iteration order. These two are
+# deliberately LAST because their operators are each independently evidenced
+# by another registered query (A1 by count_distinct_filtered; S6/J2 by
+# state_code_lookup), so if the cap drops anything it drops redundancy —
+# not extract_seller_struct (the only X6 row) or ann_cosine_topk_ivf.
+_DEMOTED = ("approx_vs_exact_distinct", "broadcast_dim_join")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: e.builder for name, e in _catalog.catalog().items()}
+    cat = _catalog.catalog()
+    ordered = [n for n in cat if n not in _DEMOTED] + [
+        n for n in _DEMOTED if n in cat
+    ]
+    return {name: cat[name].builder for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
