@@ -30,6 +30,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -369,10 +370,15 @@ def run_epoch(
 ) -> dict:
     """One frontier epoch; returns the commit record.
 
-    Exactly TWO actions run per epoch: the snapshot write and one metrics
-    aggregation over the written snapshot (plus the sharded Bloom build
-    when enabled). At 10^10 scale the write becomes the Iceberg MERGE and
-    the metrics agg an incremental scan of the changed buckets."""
+    ONE serial action anchors the epoch — the commit write, which also
+    carries the metrics aggregation via DataFrame.observe. Every other
+    per-epoch job (compaction, bloom maintenance, the carry checkpoints,
+    child_ctx, the metrics file) consumes only committed files or
+    already-checkpointed relations and runs CONCURRENTLY after it (the
+    ``tail`` pool below), so per-epoch fixed job-launch latency is paid
+    ~once, not k times. At 10^10 scale the write becomes the Iceberg
+    MERGE and the metrics agg an incremental scan of the changed
+    buckets."""
     _caches: list = []
     _t_epoch = time.perf_counter()
     carried = carried_seen = None
@@ -545,6 +551,21 @@ def run_epoch(
     # _metric_exprs) — the aggregation source is the rows being written:
     # the full snapshot in cow mode, the touched rows in delta mode
     _obs = Observation()
+    # Post-commit tail jobs (compaction, child_ctx, bloom, the two carry
+    # checkpoints, the metrics file) each consume only COMMITTED files
+    # (stats_src, the previous epoch's bloom table) or relations that are
+    # already checkpointed/persisted (pending, frontier_fps) — they are
+    # mutually independent, so they run CONCURRENTLY from driver threads
+    # after the commit write (the one serial anchor). Serially each is a
+    # small job whose cost is dominated by fixed driver/job-launch
+    # latency — the per-epoch Amdahl term the fat-epoch sched pairs
+    # measure; overlapping them collapses k fixed latencies into ~one.
+    # Each job's plan and output bytes are identical to the serial order
+    # (no task reads another's output), so crawl logs stay byte-exact —
+    # asserted by the cow≡delta and parallelism-independence equivalence
+    # suites. SCT_SERIAL_EPOCH_TAIL=1 restores the serial order for
+    # profiling A/B.
+    tail: list = []
     if p.commit_mode == "delta":
         delta_rows = delta_rows.observe(_obs, *_metric_exprs(epoch))
         # O(touched) commit: only the rows this epoch changed hit disk,
@@ -570,11 +591,15 @@ def run_epoch(
         ).parquet(os.path.join(ed, "delta"))
         _ph["write"] = time.perf_counter() - _t
         if epoch % p.compact_every == 0:
-            _t = time.perf_counter()
-            _read_frontier_state(spark, p.job_dir, epoch, with_audit=True).write.parquet(
-                os.path.join(ed, "frontier")
-            )
-            _ph["compact"] = time.perf_counter() - _t
+
+            def _job_compact() -> None:
+                _t0 = time.perf_counter()
+                _read_frontier_state(
+                    spark, p.job_dir, epoch, with_audit=True
+                ).write.parquet(os.path.join(ed, "frontier"))
+                _ph["compact"] = time.perf_counter() - _t0
+
+            tail.append(("compact", _job_compact))
         stats_src = spark.read.parquet(os.path.join(ed, "delta"))
     else:
         touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
@@ -607,7 +632,12 @@ def run_epoch(
             ).select("url", "url_fp", "parent_fp"),
             stats_src.filter(this_e & F.col("seq").isNotNull()),
         )
-        ctx_rows.write.parquet(os.path.join(ed, "child_ctx"))
+        def _job_child_ctx() -> None:
+            _t0 = time.perf_counter()
+            ctx_rows.write.parquet(os.path.join(ed, "child_ctx"))
+            _ph["child_ctx"] = time.perf_counter() - _t0
+
+        tail.append(("child_ctx", _job_child_ctx))
     if p.use_bloom:
         # broadcast-plus-delta maintenance: OR only this epoch's new fps
         # into the table and commit it with the epoch. The fps are read
@@ -619,19 +649,23 @@ def run_epoch(
         # just computed (profiled at 6-22 s/epoch at 150k images — the
         # same cross-action recompute child_ctx and the carries already
         # avoid).
-        _t = time.perf_counter()
         committed_new_fps = stats_src.filter(
             (F.col("epoch") == epoch)
             & (F.col("status") == "pending")
             & F.col("seq").isNull()
         ).select("url_fp")
-        seen_ops.bloom_or_new(
-            shard_bitmaps,
-            committed_new_fps,
-            m_bits,
-            n_shards=p.bloom_shards,
-        ).write.parquet(os.path.join(ed, "bloom"))
-        _ph["bloom_write"] = time.perf_counter() - _t
+
+        def _job_bloom() -> None:
+            _t0 = time.perf_counter()
+            seen_ops.bloom_or_new(
+                shard_bitmaps,
+                committed_new_fps,
+                m_bits,
+                n_shards=p.bloom_shards,
+            ).write.parquet(os.path.join(ed, "bloom"))
+            _ph["bloom_write"] = time.perf_counter() - _t0
+
+        tail.append(("bloom", _job_bloom))
     if p.commit_mode == "delta" and carry_io is not None and p.use_bloom:
         # next epoch's pending state = this epoch's pending minus every
         # touched fp, plus the touched rows that are pending after the
@@ -642,7 +676,6 @@ def run_epoch(
         # side + an eager checkpoint; the previous epoch's checkpoint is
         # released only after the new one exists and every consumer of
         # ``fr`` (writes above) has run.
-        _t = time.perf_counter()
         nxt = (
             pending.join(stats_src.select("url_fp"), "url_fp", "left_anti")
             .select(*FRONTIER_COLS)
@@ -652,8 +685,13 @@ def run_epoch(
                 )
             )
         )
-        carry_io["pending"] = nxt.localCheckpoint(eager=True)
-        _ph["carry_pending"] = time.perf_counter() - _t
+
+        def _job_carry_pending() -> None:
+            _t0 = time.perf_counter()
+            carry_io["pending"] = nxt.localCheckpoint(eager=True)
+            _ph["carry_pending"] = time.perf_counter() - _t0
+
+        tail.append(("carry_pending", _job_carry_pending))
         # seen fps grow append-only: this epoch's NEW rows (pending,
         # never popped → seq null; excludes robots_blocked carry-overs
         # and the seq-stamped fetch outcomes, which are all already
@@ -672,27 +710,28 @@ def run_epoch(
         # same knob that bounds the delta-file chain), so plan depth stays
         # ≤ compact_every and old layer handles are released only after
         # the flattened replacement exists.
-        _t = time.perf_counter()
-        seen_parts = carry_io.setdefault("seen_parts", [])
-        old_seen = carry_io.get("seen")
-        if old_seen is None or len(seen_parts) >= p.compact_every:
-            flat = frontier_fps.unionByName(new_fps).localCheckpoint(eager=True)
-            for h in seen_parts:
-                h.unpersist()
-            seen_parts[:] = [flat]
-            carry_io["seen"] = flat
-        else:
-            inc = new_fps.localCheckpoint(eager=True)
-            seen_parts.append(inc)
-            carry_io["seen"] = old_seen.unionByName(inc)
-        fr.unpersist()
-        _ph["carry_seen"] = time.perf_counter() - _t
-    fetched.unpersist()
-    popped.unpersist()
-    children.unpersist()
-    for _c in _caches:
-        _c.unpersist()
+        def _job_carry_seen() -> None:
+            _t0 = time.perf_counter()
+            seen_parts = carry_io.setdefault("seen_parts", [])
+            old_seen = carry_io.get("seen")
+            if old_seen is None or len(seen_parts) >= p.compact_every:
+                flat = frontier_fps.unionByName(new_fps).localCheckpoint(
+                    eager=True
+                )
+                for h in seen_parts:
+                    h.unpersist()
+                seen_parts[:] = [flat]
+                carry_io["seen"] = flat
+            else:
+                inc = new_fps.localCheckpoint(eager=True)
+                seen_parts.append(inc)
+                carry_io["seen"] = old_seen.unionByName(inc)
+            _ph["carry_seen"] = time.perf_counter() - _t0
 
+        tail.append(("carry_seen", _job_carry_seen))
+        release_fr = True
+    else:
+        release_fr = False
     # ---- metrics (A3/A4 counter tree) — collected DURING the write via
     # DataFrame.observe (_metric_exprs): the counter tree and the 16
     # per-bucket lineage counters (north rule: "every frontier epoch
@@ -739,18 +778,51 @@ def run_epoch(
         (epoch, f"lineage/bucket/{int(r['b'])}", int(r["n"]))
         for r in sorted(lineage, key=lambda r: int(r["b"]))
     ]
-    _t = time.perf_counter()
     # SQL VALUES → LocalRelation: createDataFrame(list) planned a Python
     # RDD with defaultParallelism slices, spawning one Python worker per
     # core to serve ~20 driver-local rows (6s/epoch at local[32])
     values = ",".join(
         f"({e},'{k}',{int(n)})" for e, k, n in metrics
     )
-    spark.sql(
-        "SELECT CAST(epoch AS INT) epoch, metric_key, CAST(n AS BIGINT) n "
-        f"FROM VALUES {values} AS t(epoch, metric_key, n)"
-    ).coalesce(1).write.parquet(os.path.join(ed, "metrics"))
-    _ph["metrics"] = time.perf_counter() - _t
+
+    def _job_metrics() -> None:
+        _t0 = time.perf_counter()
+        spark.sql(
+            "SELECT CAST(epoch AS INT) epoch, metric_key, CAST(n AS BIGINT) n "
+            f"FROM VALUES {values} AS t(epoch, metric_key, n)"
+        ).coalesce(1).write.parquet(os.path.join(ed, "metrics"))
+        _ph["metrics"] = time.perf_counter() - _t0
+
+    tail.append(("metrics", _job_metrics))
+
+    # ---- run the independent tail jobs concurrently (see the `tail`
+    # comment above); per-task _ph phases overlap, so their sum exceeds
+    # the `tail` wall — that difference IS the latency the overlap hides
+    _t = time.perf_counter()
+    if os.environ.get("SCT_SERIAL_EPOCH_TAIL") == "1" or len(tail) <= 1:
+        for _name, _job in tail:
+            _job()
+    else:
+        with ThreadPoolExecutor(max_workers=len(tail)) as _ex:
+            _futs = [(n, _ex.submit(j)) for n, j in tail]
+            _first_err = None
+            for _name, _fut in _futs:
+                try:
+                    _fut.result()
+                except Exception as exc:  # join ALL before re-raising
+                    if _first_err is None:
+                        _first_err = exc
+            if _first_err is not None:
+                raise _first_err
+    _ph["tail"] = time.perf_counter() - _t
+
+    if release_fr:
+        fr.unpersist()
+    fetched.unpersist()
+    popped.unpersist()
+    children.unpersist()
+    for _c in _caches:
+        _c.unpersist()
     if os.environ.get("SCT_EPOCH_TIMING") == "1":
         _ph["total"] = time.perf_counter() - _t_epoch
         print(
