@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -44,8 +45,22 @@ spark.stop()
 
 
 def pregen(n_images: int, budget_scale: float, lite: bool, cores: int = 32) -> None:
+    # The universe is reused ONLY when it was generated with the same
+    # parameters: budget_scale is baked into domains.parquet and lite
+    # into the payload column, so an existence-only check silently runs
+    # the pair against whatever the LAST invocation generated (this bit
+    # two bench sessions — a "s500" pair once ran on a stale s2000
+    # universe and produced uncomparable numbers).
+    params = {"n_images": n_images, "budget_scale": budget_scale, "lite": lite}
+    manifest = os.path.join(UNIVERSE, "_PARAMS.json")
     if os.path.exists(os.path.join(UNIVERSE, "robots.parquet")):
-        return
+        try:
+            with open(manifest) as f:
+                if json.load(f) == params:
+                    return
+        except (OSError, json.JSONDecodeError):
+            pass  # pre-manifest or torn universe: regenerate
+        shutil.rmtree(UNIVERSE)
     code = _GEN.format(
         repo=REPO,
         cores=cores,
@@ -59,6 +74,8 @@ def pregen(n_images: int, budget_scale: float, lite: bool, cores: int = 32) -> N
     )
     if "GEN done" not in out.stdout:
         raise RuntimeError(f"datagen failed:\n{out.stdout[-1500:]}\n{out.stderr[-2000:]}")
+    with open(manifest, "w") as f:
+        json.dump(params, f)
 
 _WORKER = r"""
 import json, os, sys, time
