@@ -102,3 +102,45 @@ def compile_query(
         .drop(*[c for c in spec.exclude if c in filtered.columns])
     )
     return page, count_df
+
+
+def with_opaque_id(
+    df: DataFrame, id_field: str, secret: bytes, now_ts: int
+) -> DataFrame:
+    """Replace ``id_field`` with the url-quoted opaque token the API
+    hands out on list rows — ``urllib.parse.quote(crypt.encryt(id))``
+    in the reference (api/app/main.py:613-614). One native projection
+    (idcrypt is codegen-side); apply AFTER pagination so only the page's
+    rows pay the AES, like the reference's per-row loop over the
+    already-limited cursor."""
+    from ..functions import idcrypt
+
+    _validate(df, [id_field])
+    return df.withColumn(
+        id_field,
+        F.url_encode(idcrypt.encrypt_id(F.col(id_field), secret, F.lit(now_ts))),
+    )
+
+
+def resolve_opaque_id(
+    spark, token: str, secret: bytes, now_ts: int
+) -> str:
+    """Detail-endpoint inverse (``/seller``, api/app/main.py:626-631):
+    url-unquote + decrypt one request token back to the storage id.
+    Runs as a one-row JVM plan (no Python crypto); the single collect is
+    driver-bounded by construction. Invalid or expired tokens raise
+    QueryError — the reference's 400 paths."""
+    from ..functions import idcrypt
+
+    row = (
+        spark.range(1)
+        .select(
+            idcrypt.decrypt_id(
+                F.url_decode(F.lit(token)), secret, F.lit(now_ts)
+            ).alias("d")
+        )
+        .head()
+    )
+    if row is None or not row["d"]["valid"]:
+        raise QueryError("invalid or expired id token")
+    return row["d"]["id"]

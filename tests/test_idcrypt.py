@@ -145,3 +145,29 @@ def test_idcrypt_stays_native(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_api_opaque_id_endpoints_roundtrip(spark):
+    """List rows mint url-quoted tokens; the detail path resolves one
+    back — the reference's /seller-database → /seller id flow."""
+    from scrapy_cluster_test_spark.operators import query_api
+
+    now = 1_700_000_000
+    df = spark.createDataFrame(
+        [("5f2b8c9d1e0a7b6c5d4e3f2a", "NY"), ("0123456789abcdef01234567", "CA")],
+        "id string, state string",
+    )
+    listed = query_api.with_opaque_id(df, "id", SECRET, now).collect()
+    assert all(r["id"] not in ("5f2b8c9d1e0a7b6c5d4e3f2a", "0123456789abcdef01234567") for r in listed)
+    got = {
+        query_api.resolve_opaque_id(spark, r["id"], SECRET, now): r["state"]
+        for r in listed
+    }
+    assert got == {"5f2b8c9d1e0a7b6c5d4e3f2a": "NY", "0123456789abcdef01234567": "CA"}
+    # expired / tampered tokens surface as the API's 400, not a crash
+    with pytest.raises(query_api.QueryError):
+        query_api.resolve_opaque_id(
+            spark, listed[0]["id"], SECRET, now + idcrypt.LEEWAY_SECONDS + 1
+        )
+    with pytest.raises(query_api.QueryError):
+        query_api.resolve_opaque_id(spark, "not-a-token", SECRET, now)
