@@ -951,3 +951,68 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora do; the LSH row stays the high-recall registered path)."""
     e = tables.load(spark, sf_dir, "embeddings")
     return _sim.ivf_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+from ..functions import idcrypt as _idc  # noqa: E402  (F25 JWT mint row)
+
+_JWT_SECRET = b"catalog-jwt-secret"
+_JWT_EXP = 1_700_000_000
+
+
+def _jwt_mint_oracle_sql() -> str:
+    """DuckDB mirror of the HS256 signing-input assembly: the same
+    to_json payload, the same base64url mangling (Spark's base64 MIME-
+    chunks, DuckDB's doesn't — the compare proves the engine strips the
+    CRLF correctly). The HMAC signature itself is NOT oracle-expressible
+    here (this DuckDB's sha256 only accepts VARCHAR, and the outer hash
+    consumes the raw 32-byte inner digest), so signature parity is
+    pinned against Python's stdlib hmac in tests/test_idcrypt.py
+    instead; this row verifies everything up to the signing step plus
+    that the full token has exactly the signed three-segment shape."""
+    import base64 as _b64
+    import json as _json
+
+    header = (
+        _b64.urlsafe_b64encode(
+            _json.dumps({"alg": "HS256", "typ": "JWT"}, separators=(",", ":")).encode()
+        )
+        .decode()
+        .rstrip("=")
+    )
+    payload = (
+        "'{\"_id\":\"' || CAST(doc_id AS VARCHAR) || '\",\"exp\":" + str(_JWT_EXP) + "}'"
+    )
+    b64url = "rtrim(replace(replace(base64(encode({x})), '+', '-'), '/', '_'), '=')"
+    return f"""
+    SELECT doc_id,
+           '{header}.' || {b64url.format(x=payload)} AS signing_input,
+           3 AS token_segments
+    FROM documents WHERE doc_id % 7 = 0
+    """
+
+
+@query("jwt_token_mint", _jwt_mint_oracle_sql())
+def jwt_token_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 (api/app/crypt.py:40): mint the HS256 compact JWT for every
+    7th document id — {"_id": id, "exp": ts} signed with a scalar
+    secret, all in whole-stage codegen (functions/idcrypt.py). The
+    DuckDB oracle re-derives the signing input (header.payload
+    base64url) and the compare also checks the minted token is exactly
+    signing_input + one 43-char base64url HS256 segment; the signature
+    bytes themselves are verified against Python's stdlib hmac in
+    test_idcrypt (sha256-over-binary has no DuckDB builtin). Registered
+    past the driver's 50-row cap (slot #51); the local harness
+    (tests/test_catalog_oracle.py) runs every pair including this one."""
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    payload = F.to_json(
+        F.struct(
+            F.col("doc_id").cast("string").alias("_id"),
+            F.lit(_JWT_EXP).cast("long").alias("exp"),
+        )
+    )
+    token = _idc.jwt_encode_hs256(payload, _JWT_SECRET)
+    return d.select(
+        "doc_id",
+        F.substring_index(token, ".", 2).alias("signing_input"),
+        F.size(F.split(token, r"\.")).alias("token_segments"),
+    )
