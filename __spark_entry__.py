@@ -30,12 +30,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return _catalog.catalog()["frontier_pop_topk"].builder(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks at most 50 queries in iteration order. These two are
+# The driver checks at most 50 queries in iteration order. These three are
 # deliberately LAST because their operators are each independently evidenced
 # by another registered query (A1 by count_distinct_filtered; S6/J2 by
-# state_code_lookup), so if the cap drops anything it drops redundancy —
-# not extract_seller_struct (the only X6 row) or ann_cosine_topk_ivf.
-_DEMOTED = ("approx_vs_exact_distinct", "broadcast_dim_join")
+# state_code_lookup; F7's regex family by regex_search_ci/digit_extraction,
+# plus three rounds of green driver rows r1-r3), so if the cap drops
+# anything it drops redundancy — not extract_seller_struct (the only X6
+# row), ann_cosine_topk_ivf, or jwt_token_mint (both new in r4, never
+# driver-checked before).
+_DEMOTED = ("approx_vs_exact_distinct", "broadcast_dim_join", "whitespace_clean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
