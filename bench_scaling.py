@@ -98,6 +98,11 @@ if mode == "kernel":
     # over a memory-cached pending frontier, noop sink (no snapshot IO).
     # Isolates the engine's dataflow from the sandbox's serialized disk
     # syscalls; this is the per-epoch work that dominates at 10^10 scale.
+    # Matches the production epoch config: run_crawl executes its loop
+    # with AQE off (plans/epoch._epoch_aqe_off — measured 48% wall tax
+    # from AQE's stage barriers on many-small-action crawls), so the
+    # kernel models the same regime.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
     from scrapy_cluster_test_spark.operators import frontier as fr_ops
