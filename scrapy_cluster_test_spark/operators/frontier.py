@@ -76,9 +76,23 @@ def bucketed_rank(
     group_cols: list | None = None,
     shared_exchange: bool = False,
     cache_registry: list | None = None,
+    small: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic two-level rank over ``order_cols`` (per ``group_cols``),
     returning (ranked, per-(bucket, group) counts).
+
+    ``small=True`` switches to ONE plain ``partitionBy(group)`` window —
+    the physical strategy choice, not a semantic one: ranks are identical
+    either way (the bucketed form is proven equal to the plain window in
+    tests/test_distributed_rank.py), but the two-level form pays ~0.5-1 s
+    of fixed cost per call (a persist or exchange, a counts aggregation,
+    two broadcast offset joins) that only amortizes on multi-million-row
+    inputs, while the plain window's weakness — the Zipf head group
+    landing in one task — is harmless when the whole input fits in one
+    task anyway. Callers pass it when they KNOW the input is small from
+    data-dependent state (the epoch driver's committed pending count, a
+    catalog query's table size), never from runtime sampling, so plans
+    stay deterministic across parallelism levels.
 
     ``bucket`` must be (a) monotone non-decreasing along the sort order —
     rows that compare lower never get a higher bucket — and (b) roughly
@@ -120,6 +134,13 @@ def bucketed_rank(
     group's rows in all LOWER buckets (triangular broadcast join over the
     tiny counts relation)."""
     g = list(group_cols or [])
+    if small:
+        w_plain = W.partitionBy(*g).orderBy(*order_cols)
+        ranked = df.withColumn(out_col, F.row_number().over(w_plain).cast("long"))
+        counts = df.groupBy(*g).agg(F.count("*").alias("_c")).withColumn(
+            "_bk", F.lit(0).cast("long")
+        )
+        return ranked, counts
     b = df.withColumn("_bk", bucket)
     w_local = W.partitionBy("_bk", *g).orderBy(*order_cols)
     if shared_exchange:
@@ -272,6 +293,7 @@ def pop_batch(
     prefilter_salt: int | None = None,
     cache_registry: list | None = None,
     big_pop_hint: bool = False,
+    small_pop_hint: bool = False,
 ) -> DataFrame:
     """Politeness-budgeted, deterministic frontier pop.
 
@@ -296,6 +318,14 @@ def pop_batch(
     grouped rank sees at salt × budget rows per domain — O(popped), not
     O(frontier). Costs one extra narrow hash-shuffle, so the epoch driver
     enables it only when the pending frontier dwarfs the budgets.
+
+    ``small_pop_hint``: the caller KNOWS (from data-dependent state — a
+    committed pending count or a table size, never runtime sampling) that
+    the input is far below the ~10^6-row regime where the two-level
+    bucketed ranks pay off; both ranks run as plain windows instead.
+    Ranks, and therefore pops and crawl order, are identical either way
+    (tests/test_distributed_rank.py) — this is the same class of
+    stats-driven physical choice as broadcast vs shuffle join.
     """
     cand = allowed_pending.withColumn("kind_rank", kind_rank())
 
@@ -346,6 +376,7 @@ def pop_batch(
             "dom_rk",
             ["domain"],
             cache_registry=cache_registry,
+            small=small_pop_hint,
         )
         narrow = narrow.filter(F.col("dom_rk") <= budget).drop("budget_per_epoch")
 
@@ -364,6 +395,7 @@ def pop_batch(
         "kind_rk",
         ["queue_kind"],
         cache_registry=cache_registry,
+        small=small_pop_hint,
     )
     big = 1 << 40
     kind_cap = F.when(

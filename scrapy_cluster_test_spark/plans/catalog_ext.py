@@ -556,7 +556,13 @@ def frontier_pop_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain_id").alias("domain"),
         F.when(F.col("domain_id") % 5 == 0, 4).otherwise(2).alias("budget_per_epoch"),
     )
-    popped = fr_ops.pop_batch(frontier, budgets, seller_cap=40, asin_cap=25, seq_base=0)
+    # the events table is bounded (~10^5 rows at sf0.1) and its size is a
+    # data-dependent fact, so take the plain-window physical path — ranks
+    # identical to the bucketed one (tests/test_distributed_rank.py)
+    popped = fr_ops.pop_batch(
+        frontier, budgets, seller_cap=40, asin_cap=25, seq_base=0,
+        small_pop_hint=True,
+    )
     return popped.select(
         "domain_id", "url_fp", "queue_kind", "priority", "crawl_time", "seq"
     )

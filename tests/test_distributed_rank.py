@@ -72,14 +72,17 @@ def test_pop_batch_seq_matches_window_reference(spark):
         "SELECT * FROM VALUES ('d0',400),('d1',400),('d2',400),('d3',400),"
         "('d4',400),('d5',400),('d6',400) AS t(domain, budget_per_epoch)"
     )
-    for caps, salt in (
-        ((700, 900), None),   # bucketed dom-rank branch (fat-pop regime)
-        ((None, None), None),
-        ((700, 900), 4),      # salted-prefilter + plain-window branch
-        ((None, None), 4),
+    for caps, salt, small in (
+        ((700, 900), None, False),   # bucketed dom-rank branch (fat-pop regime)
+        ((None, None), None, False),
+        ((700, 900), 4, False),      # salted-prefilter + plain-window branch
+        ((None, None), 4, False),
+        ((700, 900), None, True),    # small_pop_hint: plain-window physical path
+        ((None, None), None, True),
     ):
         popped = pop_batch(
-            fr, domains, caps[0], caps[1], seq_base=100, prefilter_salt=salt
+            fr, domains, caps[0], caps[1], seq_base=100, prefilter_salt=salt,
+            small_pop_hint=small,
         )
         # reference: same budget/cap filters with plain windows + global seq
         c = fr.withColumn("kind_rank", kind_rank()).join(
@@ -103,4 +106,4 @@ def test_pop_batch_seq_matches_window_reference(spark):
         got = popped.select("url_fp", "seq")
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, ref.collect())
-        ), f"caps={caps} salt={salt}"
+        ), f"caps={caps} salt={salt} small={small}"
