@@ -503,9 +503,20 @@ def run_epoch(
         # (O(new) maintenance, written below) instead of rebuilding from
         # the full frontier every epoch (O(frontier) — measured ~5s/epoch
         # at a 300k frontier, and the whole frontier scan at 10^10).
+        # Steady-state epochs take the CARRIED checkpoint (the bitmap
+        # relation _job_bloom materialized last epoch — the same bytes it
+        # wrote to disk) instead of re-reading the parquet: the table is
+        # consumed twice per epoch (the probe here and the OR below), so
+        # the disk form costs two O(m_bits) reads per epoch — a per-epoch
+        # constant that is GBs at the 10^10 design point. The disk copy
+        # stays the durable/resume form, exactly like the pending/seen
+        # carries.
         m_bits = _bloom_m_bits(p)
         prev_bloom = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "bloom")
-        if os.path.isdir(prev_bloom):
+        carried_bloom = (carry_io or {}).get("bloom")
+        if carried_bloom is not None:
+            shard_bitmaps = carried_bloom
+        elif os.path.isdir(prev_bloom):
             shard_bitmaps = spark.read.parquet(prev_bloom)
         else:  # pre-incremental job dir → one full rebuild at fixed size
             shard_bitmaps = seen_ops.build_bloom_table_fixed(
@@ -658,12 +669,27 @@ def run_epoch(
 
         def _job_bloom() -> None:
             _t0 = time.perf_counter()
-            seen_ops.bloom_or_new(
+            new_table = seen_ops.bloom_or_new(
                 shard_bitmaps,
                 committed_new_fps,
                 m_bits,
                 n_shards=p.bloom_shards,
-            ).write.parquet(os.path.join(ed, "bloom"))
+            )
+            if carry_io is not None:
+                # materialize once, then BOTH the disk write and next
+                # epoch's two consumers read the checkpointed blocks —
+                # disk bytes and carried bytes are the same relation by
+                # construction. The old handle is released only after
+                # the replacement exists (its last consumer is the OR
+                # job the checkpoint just ran).
+                new_table = new_table.localCheckpoint(eager=True)
+                new_table.write.parquet(os.path.join(ed, "bloom"))
+                old = carry_io.get("bloom")
+                carry_io["bloom"] = new_table
+                if old is not None:
+                    old.unpersist()
+            else:
+                new_table.write.parquet(os.path.join(ed, "bloom"))
             _ph["bloom_write"] = time.perf_counter() - _t0
 
         tail.append(("bloom", _job_bloom))
