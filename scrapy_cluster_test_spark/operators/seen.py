@@ -154,9 +154,18 @@ def build_bloom_table(
     return build_bloom_table_fixed(fps_df, m_bits, k, n_shards), m_bits
 
 
-def bloom_m_bits(expected_total: int, n_shards: int = 16, bits_per_key: int = 10) -> int:
+# design bits-per-key for bloom_m_bits and the fill-ratio resize trigger
+# (10 bits/key ≈ 1% false-positive rate at k=5)
+BITS_PER_KEY = 10
+
+
+def bloom_m_bits(
+    expected_total: int, n_shards: int = 16, bits_per_key: int = BITS_PER_KEY
+) -> int:
     """Per-shard bitmap size for an expected TOTAL key count — fixed up
-    front so the table can grow incrementally without ever resizing."""
+    front so the table can grow incrementally without resizing; when the
+    seen set outgrows it anyway, run_epoch's fill-ratio trigger rebuilds
+    at the next power of two (epoch.py _job_bloom)."""
     return max(
         1024,
         1

@@ -72,6 +72,18 @@ class CrawlParams:
     # lifecycle. None → 2·n_images + 1000 (every image can contribute one
     # seller and one asin URL, plus seeds).
     bloom_expected_total: int | None = None
+    # ADAPTIVE RESIZE: when the frontier (== seen-key count, fps never
+    # leave it) exceeds this fraction of the filter's design capacity
+    # (m_bits·shards / BITS_PER_KEY), the epoch's bloom job rebuilds the
+    # table at bloom_m_bits(2·n_frontier) instead of OR-ing — one
+    # O(frontier) pass, amortized O(1)/key by doubling, exactly like a
+    # hash-table grow. Without it a long crawl silently degrades: the
+    # false-positive rate climbs and every fp is paid for in the exact
+    # verify anti-join's probe side (results stay correct — only the
+    # join grows). The new size is recorded in the epoch's commit record
+    # (``bloom_m_bits``) so probe positions stay consistent across
+    # epochs and resume. 0 disables (fixed size forever, pre-r4 form).
+    bloom_resize_at: float = 0.8
     # Salted repartition of the popped batch before fetch (Q15 hot-domain
     # skew defense). None = let Catalyst place the work (fine when popped
     # batches are small); set to ~cluster cores at scale.
@@ -191,7 +203,14 @@ def bootstrap(spark: SparkSession, p: CrawlParams) -> None:
     pending = spark.read.parquet(os.path.join(ed, "frontier")).count()
     with open(_commit_path(p.job_dir, 0), "w") as f:
         json.dump(
-            {"epoch": 0, "seq_base": 0, "pending": pending, "n_frontier": pending}, f
+            {
+                "epoch": 0,
+                "seq_base": 0,
+                "pending": pending,
+                "n_frontier": pending,
+                **({"bloom_m_bits": _bloom_m_bits(p)} if p.use_bloom else {}),
+            },
+            f,
         )
 
 
@@ -511,7 +530,13 @@ def run_epoch(
         # constant that is GBs at the 10^10 design point. The disk copy
         # stays the durable/resume form, exactly like the pending/seen
         # carries.
-        m_bits = _bloom_m_bits(p)
+        # the CURRENT per-shard size comes from the previous commit record
+        # (adaptive resize may have grown it past the params-derived
+        # bootstrap value); probe positions are a function of m_bits, so
+        # probing last epoch's table at any other size would be garbage.
+        # Pre-resize job dirs have no record key → params default, which
+        # is exactly the size every epoch used before the feature.
+        m_bits = int((prev_state or {}).get("bloom_m_bits") or _bloom_m_bits(p))
         prev_bloom = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "bloom")
         carried_bloom = (carry_io or {}).get("bloom")
         if carried_bloom is not None:
@@ -667,14 +692,37 @@ def run_epoch(
             & F.col("seq").isNull()
         ).select("url_fp")
 
+        bloom_rec = {"m_bits": m_bits}
+
         def _job_bloom() -> None:
             _t0 = time.perf_counter()
-            new_table = seen_ops.bloom_or_new(
-                shard_bitmaps,
-                committed_new_fps,
-                m_bits,
-                n_shards=p.bloom_shards,
-            )
+            # ADAPTIVE RESIZE (CrawlParams.bloom_resize_at): n_frontier —
+            # the post-epoch seen-key count, bound in this scope by the
+            # commit write before the tail runs — against design capacity
+            # m_bits·shards/BITS_PER_KEY. Over the threshold the OR step
+            # is replaced by ONE full rebuild at the next power-of-two
+            # size that fits 2·n_frontier: O(frontier) once, amortized
+            # O(1)/key by doubling. The rebuild consumes frontier_fps ∪
+            # committed_new_fps (pre-epoch seen set + the just-committed
+            # rows), never the carry_seen job's output — tail jobs run
+            # concurrently and may not order.
+            cap_keys = (m_bits * p.bloom_shards) // seen_ops.BITS_PER_KEY
+            if p.bloom_resize_at and n_frontier > p.bloom_resize_at * cap_keys:
+                bloom_rec["m_bits"] = seen_ops.bloom_m_bits(
+                    2 * n_frontier, p.bloom_shards
+                )
+                new_table = seen_ops.build_bloom_table_fixed(
+                    frontier_fps.unionByName(committed_new_fps),
+                    bloom_rec["m_bits"],
+                    n_shards=p.bloom_shards,
+                )
+            else:
+                new_table = seen_ops.bloom_or_new(
+                    shard_bitmaps,
+                    committed_new_fps,
+                    m_bits,
+                    n_shards=p.bloom_shards,
+                )
             if carry_io is not None:
                 # materialize once, then BOTH the disk write and next
                 # epoch's two consumers read the checkpointed blocks —
@@ -864,6 +912,9 @@ def run_epoch(
         "pending": n_pending,
         "popped": n_popped,
         "n_frontier": n_frontier,
+        # current per-shard bitmap size — next epoch's probe reads it
+        # (positions are a function of m_bits) and resume restores it
+        **({"bloom_m_bits": bloom_rec["m_bits"]} if p.use_bloom else {}),
     }
     # Fencing: the epoch's data files are all written by now, but nothing
     # is visible until the _COMMIT marker lands. If this writer's job
