@@ -105,10 +105,16 @@ class BloomShards:
         )
 
 
+# design bits-per-key for bloom_m_bits and the fill-ratio resize trigger
+# (10 bits/key ≈ 1% false-positive rate at k=5). Single source of truth:
+# both builders and epoch.py's resize cap_keys math derive from this.
+BITS_PER_KEY = 10
+
+
 def build_bloom(
     fps_df: DataFrame,
     n_shards: int = 16,
-    bits_per_key: int = 10,
+    bits_per_key: int = BITS_PER_KEY,
     k: int = 5,
     expected: int | None = None,
 ) -> BloomShards:
@@ -117,7 +123,7 @@ def build_bloom(
     blobs. (At 10^10 keys this is the only collect — ~bits_per_key·N/8
     bytes total, sharded.)"""
     n = expected if expected is not None else fps_df.count()
-    m_bits = max(1024, 1 << int(np.ceil(np.log2(max(1, n // max(1, n_shards)) * bits_per_key))))
+    m_bits = bloom_m_bits(n, n_shards, bits_per_key)
 
     def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -138,7 +144,7 @@ def build_bloom(
 def build_bloom_table(
     fps_df: DataFrame,
     n_shards: int = 16,
-    bits_per_key: int = 10,
+    bits_per_key: int = BITS_PER_KEY,
     k: int = 5,
     expected: int | None = None,
 ) -> tuple[DataFrame, int]:
@@ -152,11 +158,6 @@ def build_bloom_table(
     n = expected if expected is not None else fps_df.count()
     m_bits = bloom_m_bits(n, n_shards, bits_per_key)
     return build_bloom_table_fixed(fps_df, m_bits, k, n_shards), m_bits
-
-
-# design bits-per-key for bloom_m_bits and the fill-ratio resize trigger
-# (10 bits/key ≈ 1% false-positive rate at k=5)
-BITS_PER_KEY = 10
 
 
 def bloom_m_bits(

@@ -607,9 +607,10 @@ def ivf_topk(
     a near-zero-byte exchange. Candidates come from an equi-join on the
     centroid id (each vector lives in exactly ONE list, so no distinct is
     needed), and only probed-list members pay the exact ordered-fold
-    cosine. At 10^10 raise n_centroids ~ √N and bucket the corpus table
-    by ``cid`` so probes prune at file listing, like the frontier's
-    lineage buckets."""
+    cosine. At 10^10 raise n_centroids ~ √N and materialize the corpus
+    with ``ivf_write_bucketed`` (partitioned by ``cid``) so probes prune
+    at file listing via ``ivf_topk_bucketed`` — same listing-time method
+    as the frontier's lineage buckets (tests/test_ivf_bucketed.py)."""
     cents = F.broadcast(ivf_centroids(vectors, n_centroids, id_col, emb_col))
     vn = vectors.select(
         F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
@@ -721,3 +722,133 @@ def ivf_topk_oracle_sql(
           FROM scored)
     WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF at scale: cid-bucketed corpus materialization + probe-side file pruning
+# (the "bucket the corpus table by cid so probes prune at file listing" knob
+# ivf_topk's docstring promises — same listing-time method as the frontier's
+# _dbucket delta partitions, plans/epoch._read_frontier_state).
+
+
+def _ivf_assign(vn: DataFrame, cents: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id → nearest-centroid cid): broadcast nested-loop against the C
+    centroid rows, then a map-side-combinable max_by argmin — the corpus
+    is never shuffled (same shape as ivf_topk's inline assignment)."""
+    sim = vn.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", dot_cols(emb_col, "emb_c") / (F.col("nr") * F.col("norm_c"))
+    )
+    return sim.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")))).alias("cid")
+    )
+
+
+def ivf_write_bucketed(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index on disk in its 10^10 shape:
+
+    * ``path/lists`` — (id, embedding, nr, cid) partitioned BY cid, one
+      inverted list per ``cid=K`` directory, so a probe constructs its
+      scan from exactly the probed directories and untouched lists are
+      never even listed (file-listing pruning, not a post-scan filter);
+    * ``path/centroids`` — the C coarse-quantizer rows (cid, emb_c,
+      norm_c), re-read and broadcast at probe time.
+
+    The repartition keys one task per list (C tasks) — at 10^10 rows with
+    C ~ √N lists each holds ~√N vectors; a hot list splits across files
+    by maxRecordsPerFile if needed, which keeps the listing-time pruning
+    property."""
+    import os
+
+    cents = ivf_centroids(vectors, n_centroids, id_col, emb_col)
+    vn = vectors.select(
+        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
+    )
+    assign = _ivf_assign(vn, cents, id_col, emb_col)
+    (
+        vn.join(assign, id_col)
+        .repartition(n_centroids, "cid")
+        .write.partitionBy("cid")
+        .parquet(os.path.join(path, "lists"))
+    )
+    cents.write.parquet(os.path.join(path, "centroids"))
+
+
+def ivf_read_lists(spark, path: str, cids: list[int]) -> DataFrame:
+    """Scan ONLY the given inverted lists: the scan is built from explicit
+    ``cid=K`` paths (with basePath so cid stays a column) — O(probed
+    lists) files by construction. A post-scan .isin filter would list the
+    whole corpus first; this never does."""
+    import os
+
+    lists_root = os.path.join(path, "lists")
+    sub = [
+        os.path.join(lists_root, f"cid={c}")
+        for c in sorted({int(c) for c in cids})
+        if os.path.isdir(os.path.join(lists_root, f"cid={c}"))
+    ]
+    if not sub:  # no probed list materialized → empty frame, full schema
+        return spark.read.parquet(lists_root).limit(0)
+    return spark.read.option("basePath", lists_root).parquet(*sub)
+
+
+def ivf_topk_bucketed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` against the on-disk bucketed index: identical output
+    contract (query_id, neighbor_id, rnk) and identical results for the
+    same corpus/centroids (pinned in tests/test_ivf_bucketed.py), but the
+    corpus scan touches only the probed ``cid=K`` directories.
+
+    ``queries`` must carry (id_col, emb_col). The only collect is the
+    distinct probed-cid set — ≤ C ints (C ~ √N at scale: driver-bounded,
+    it is the path list for the pruned scan)."""
+    import os
+
+    cents = F.broadcast(spark.read.parquet(os.path.join(path, "centroids")))
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("emb_q"),
+        norm_col(F.col(emb_col)).alias("norm_q"),
+    )
+    qsim = qn.crossJoin(cents).withColumn(
+        "cs", dot_cols("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    probes = (
+        qsim.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid", "emb_q", "norm_q")
+    )
+    probed = [int(r.cid) for r in probes.select("cid").distinct().collect()]
+    members = ivf_read_lists(spark, path, probed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("emb_v"),
+        F.col("nr").alias("norm_v"),
+        "cid",
+    )
+    pair = probes.join(members, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pair.withColumn(
+        "cosine", dot_cols("emb_q", "emb_v") / (F.col("norm_q") * F.col("norm_v"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )

@@ -569,6 +569,107 @@ def frontier_pop_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_throttle_budget",
+    """
+    WITH cand AS (
+      SELECT CAST(event_id % 2 AS INT) AS batch,
+             'd' || CAST(user_id % 40 AS VARCHAR) AS domain,
+             event_id AS url_fp,
+             CAST(event_id % 3 AS INT) AS priority,
+             CAST(event_id % 97 AS BIGINT) AS crawl_time
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY domain, batch
+               ORDER BY priority, crawl_time, url_fp) AS rk
+      FROM cand),
+    b0 AS (SELECT * FROM ranked WHERE batch = 0 AND rk <= 5),
+    used0 AS (SELECT domain, count(*) AS u FROM b0 GROUP BY domain),
+    b1 AS (
+      SELECT r.*, coalesce(u.u, 0) AS u
+      FROM ranked r LEFT JOIN used0 u USING (domain)
+      WHERE r.batch = 1 AND r.rk <= 5 - coalesce(u.u, 0))
+    SELECT domain, url_fp, priority, crawl_time,
+           CAST(rk - 1 AS BIGINT) AS dispatch_seq FROM b0
+    UNION ALL
+    SELECT domain, url_fp, priority, crawl_time,
+           CAST(u + rk - 1 AS BIGINT) AS dispatch_seq FROM b1
+    """,
+)
+def stream_throttle_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming politeness throttle driver-checked end-to-end
+    (SURVEY §2.11; streaming/throttle.throttled_dispatch): candidates
+    synthesized from ``events`` are split into TWO micro-batches (one
+    parquet file each, mtime-ordered, maxFilesPerTrigger=1) and run
+    through the applyInPandasWithState throttle at budget=5/domain over
+    the stream's LIFETIME. The oracle reproduces the stateful fold in
+    SQL: batch 1's per-domain allowance is 5 minus what batch 0 already
+    spent — the cross-batch carry a stateless window cannot express.
+    Output is ≤ domains·budget rows (driver-bounded memory sink)."""
+    import glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming import throttle
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("batch"),
+        F.concat(F.lit("d"), (F.col("user_id") % 40).cast("string")).alias(
+            "domain"
+        ),
+        F.col("event_id").alias("url_fp"),
+        (F.col("event_id") % 3).cast("int").alias("priority"),
+        (F.col("event_id") % 97).cast("long").alias("crawl_time"),
+    )
+    root = tempfile.mkdtemp(prefix="sct_stream_throttle_")
+    src = _os.path.join(root, "cands")
+    _os.makedirs(src)
+    # one file per micro-batch, mtimes forcing source order b0 → b1
+    for b, mt in ((0, 1_000_000), (1, 2_000_000)):
+        tmp = _os.path.join(root, f"b{b}.tmp")
+        cand.filter(F.col("batch") == b).coalesce(1).write.parquet(tmp)
+        part = glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"b{b}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        _os.utime(dst, (mt, mt))
+    stream_in = (
+        spark.readStream.schema(
+            "batch int, domain string, url_fp long, priority int, "
+            "crawl_time long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = "sct_stream_throttle_sink"
+    spark.catalog.dropTempView(qname) if qname in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        throttle.throttled_dispatch(stream_in, budget=5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(root, ignore_errors=True)  # memory sink holds the rows
+    return spark.table(qname).select(
+        "domain",
+        "url_fp",
+        "priority",
+        "crawl_time",
+        F.col("dispatch_seq").cast("long").alias("dispatch_seq"),
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     """
     WITH d AS (
@@ -1006,8 +1107,9 @@ def jwt_token_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     base64url) and the compare also checks the minted token is exactly
     signing_input + one 43-char base64url HS256 segment; the signature
     bytes themselves are verified against Python's stdlib hmac in
-    test_idcrypt (sha256-over-binary has no DuckDB builtin). Registered
-    past the driver's 50-row cap (slot #51); the local harness
+    test_idcrypt (sha256-over-binary has no DuckDB builtin). Driver-
+    checked (promoted into the top-50 registration order in round 4;
+    green in CORRECTNESS_r04); the local harness
     (tests/test_catalog_oracle.py) runs every pair including this one."""
     d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     payload = F.to_json(

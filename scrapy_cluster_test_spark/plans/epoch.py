@@ -229,6 +229,27 @@ def _null_audit(df):
     )
 
 
+def _compact_snapshot(spark: SparkSession, job_dir: str, epoch: int) -> None:
+    """Write a full snapshot for an ALREADY-COMMITTED epoch post-hoc
+    (resume-time compaction). The snapshot is derived state — a cache of
+    the delta resolve, never the commit itself — so the _COMMIT marker is
+    untouched; torn-write safety comes from writing to a tmp dir and
+    atomically renaming it into place (a crash mid-write leaves only the
+    tmp dir, which no reader matches — _frontier_base_epoch looks for the
+    exact name ``frontier``)."""
+    ed = _epoch_dir(job_dir, epoch)
+    final = os.path.join(ed, "frontier")
+    if os.path.isdir(final):
+        return
+    tmp = os.path.join(ed, "_frontier_compact_tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    _read_frontier_state(spark, job_dir, epoch, with_audit=True).write.parquet(
+        tmp
+    )
+    os.rename(tmp, final)
+
+
 def _frontier_base_epoch(job_dir: str, upto: int) -> int:
     """Latest epoch ≤ upto that has a full snapshot (bootstrap or
     compaction) — the base the delta overlay starts from."""
@@ -675,6 +696,15 @@ def run_epoch(
             _ph["child_ctx"] = time.perf_counter() - _t0
 
         tail.append(("child_ctx", _job_child_ctx))
+    # Old carry-handle unpersists are DEFERRED past the tail barrier:
+    # tail jobs run concurrently and _job_bloom's resize branch scans
+    # frontier_fps — in the delta+carry path a union over the SAME
+    # localCheckpointed seen layers _job_carry_seen re-flattens (and used
+    # to unpersist) on compaction epochs. Checkpointed blocks cannot be
+    # recomputed, so yanking them mid-scan aborts the epoch whenever a
+    # resize coincides with a compaction. Tail threads only APPEND here
+    # (GIL-atomic); the release loop after the pool joins is the barrier.
+    _post_tail_release: list = []
     if p.use_bloom:
         # broadcast-plus-delta maintenance: OR only this epoch's new fps
         # into the table and commit it with the epoch. The fps are read
@@ -728,14 +758,17 @@ def run_epoch(
                 # epoch's two consumers read the checkpointed blocks —
                 # disk bytes and carried bytes are the same relation by
                 # construction. The old handle is released only after
-                # the replacement exists (its last consumer is the OR
-                # job the checkpoint just ran).
+                # the replacement exists AND the tail barrier passes:
+                # on the OR path its last consumer is the OR job the
+                # checkpoint just ran; on the resize path it is simply
+                # unused (the rebuild reads frontier_fps, not the old
+                # table) — either way post-tail release is safe.
                 new_table = new_table.localCheckpoint(eager=True)
                 new_table.write.parquet(os.path.join(ed, "bloom"))
                 old = carry_io.get("bloom")
                 carry_io["bloom"] = new_table
                 if old is not None:
-                    old.unpersist()
+                    _post_tail_release.append(old)
             else:
                 new_table.write.parquet(os.path.join(ed, "bloom"))
             _ph["bloom_write"] = time.perf_counter() - _t0
@@ -793,8 +826,10 @@ def run_epoch(
                 flat = frontier_fps.unionByName(new_fps).localCheckpoint(
                     eager=True
                 )
-                for h in seen_parts:
-                    h.unpersist()
+                # old layers released post-tail, never here: _job_bloom's
+                # resize branch may still be scanning frontier_fps (a
+                # union over these very layers) in a sibling thread
+                _post_tail_release.extend(seen_parts)
                 seen_parts[:] = [flat]
                 carry_io["seen"] = flat
             else:
@@ -891,6 +926,8 @@ def run_epoch(
                 raise _first_err
     _ph["tail"] = time.perf_counter() - _t
 
+    for _h in _post_tail_release:
+        _h.unpersist()
     if release_fr:
         fr.unpersist()
     fetched.unpersist()
@@ -991,6 +1028,7 @@ def _run_crawl_locked(
         tokens = proxy_ops.lease_tokens(spark, p.proxies_path)
     try:
         last = last_committed_epoch(p.job_dir) if resume else None
+        resumed = last is not None
         if last is None:
             if os.path.isdir(p.job_dir):
                 shutil.rmtree(p.job_dir)
@@ -998,6 +1036,20 @@ def _run_crawl_locked(
             bootstrap(spark, p)
             last = 0
         state = read_commit(p.job_dir, last)
+        # resume-time carry warm-up: the resumed process's first epoch
+        # falls back to the disk resolve (run_epoch layer 2), which walks
+        # base ⊕ every delta since the last compaction — at a 10^5-epoch
+        # job dir that one resolve is unbounded if the job died long
+        # after its last compaction. Compact ONCE up front when the chain
+        # exceeds the cadence, so the first resolve reads base ⊕ ≤
+        # compact_every layers — the same bound a live run maintains.
+        if (
+            resumed
+            and p.commit_mode == "delta"
+            and last > 0
+            and last - _frontier_base_epoch(p.job_dir, last) >= p.compact_every
+        ):
+            _compact_snapshot(spark, p.job_dir, last)
         epoch = last
         # carries the checkpointed pending frontier between delta-mode
         # epochs (run_epoch docs) — epochs after the first touch no

@@ -1,11 +1,14 @@
 """Stateful streaming politeness throttle: per-domain dispatch budgets
 carried across micro-batches with ``applyInPandasWithState``.
 
-Reference parity: scrapy-cluster enforces a per-domain request budget in
-its Redis throttled queue (the window/hits moderation the distributed
-scheduler applies before a spider may pop a request); the batch engine
-implements the same contract per epoch in ``frontier.pop_batch``
-(operators/frontier.py). This module is the streaming form: a continuous
+Reference parity: this reference fork enforces per-domain politeness
+through its download-delay / rate-limit configs (DOWNLOAD_DELAY and the
+per-crawler MAX_REQUESTS_PER_SECOND cap, core/.../scrapy/constants.py —
+SURVEY Q4; the Redis throttled-queue moderation belongs to upstream
+scrapy-cluster, which this fork replaced with Mongo and does not ship);
+the batch engine implements the same contract per epoch in
+``frontier.pop_batch`` (operators/frontier.py). This module is the
+streaming form: a continuous
 stream of candidate fetch requests is throttled so each domain dispatches
 at most ``budget`` requests over the stream's lifetime, with the per-domain
 ``used`` counter held in Spark's state store — the piece a stateless
@@ -21,8 +24,9 @@ Semantics (deterministic, wall-clock free):
   whole stream (batch-major: everything dispatched in batch k precedes
   batch k+1), so downstream sinks get a stable per-domain order;
 * state is one int per domain — O(domains) state, never O(requests):
-  the state store holds exactly what the Redis throttle's per-domain
-  window key held.
+  the state store holds exactly the per-domain spent-budget counter the
+  reference's rate caps imply (upstream scrapy-cluster kept the same
+  counter in a per-domain Redis window key).
 
 Arrow-batched via pandas on both the input and state sides (no
 row-at-a-time Python); the grouping key is the domain, so hot domains

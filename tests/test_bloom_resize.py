@@ -10,6 +10,8 @@ fixed-size pre-feature behavior."""
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
 
 from scrapy_cluster_test_spark import datagen
@@ -54,64 +56,68 @@ def _final_rec(job_dir):
     return ep.read_commit(job_dir, ep.last_committed_epoch(job_dir))
 
 
-def test_resize_triggers_and_crawl_identical(spark, universe):
-    ep.run_crawl(spark, _params("/tmp/sct_bresize_exact"), resume=False)
-    ep.run_crawl(spark, _params("/tmp/sct_bresize_tiny", **TINY), resume=False)
-    a = _log(spark, "/tmp/sct_bresize_exact")
-    b = _log(spark, "/tmp/sct_bresize_tiny")
+def _fresh(job_dir: str) -> str:
+    """rm a stale dir from any previous session so no test ever compares
+    against leftovers (tests must be self-contained under pytest -k)."""
+    shutil.rmtree(job_dir, ignore_errors=True)
+    return job_dir
+
+
+@pytest.fixture(scope="module")
+def exact_job(spark, universe):
+    d = _fresh("/tmp/sct_bresize_exact")
+    ep.run_crawl(spark, _params(d), resume=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_job(spark, universe):
+    d = _fresh("/tmp/sct_bresize_tiny")
+    ep.run_crawl(spark, _params(d, **TINY), resume=False)
+    return d
+
+
+def test_resize_triggers_and_crawl_identical(spark, universe, exact_job, tiny_job):
+    a = _log(spark, exact_job)
+    b = _log(spark, tiny_job)
     assert len(a) > 0
     assert a == b
-    rec = _final_rec("/tmp/sct_bresize_tiny")
+    rec = _final_rec(tiny_job)
     m0 = ep._bloom_m_bits(_params("/tmp/x", **TINY))
     assert rec["n_frontier"] > (m0 * 2) // seen_ops.BITS_PER_KEY, (
         "universe too small to exercise the trigger — grow N"
     )
     assert rec["bloom_m_bits"] > m0, "resize never fired"
     # the committed bitmap bytes match the recorded size
-    last = ep.last_committed_epoch("/tmp/sct_bresize_tiny")
-    bm = spark.read.parquet(
-        f"/tmp/sct_bresize_tiny/epoch={last:05d}/bloom"
-    ).collect()
+    last = ep.last_committed_epoch(tiny_job)
+    bm = spark.read.parquet(f"{tiny_job}/epoch={last:05d}/bloom").collect()
     assert len(bm) == 2
     assert all(len(r.bitmap) == rec["bloom_m_bits"] // 8 for r in bm)
 
 
-def test_resize_under_delta_carry(spark, universe):
-    ep.run_crawl(
-        spark,
-        _params("/tmp/sct_bresize_delta", commit_mode="delta", **TINY),
-        resume=False,
-    )
-    assert _log(spark, "/tmp/sct_bresize_delta") == _log(
-        spark, "/tmp/sct_bresize_exact"
-    )
-    assert _final_rec("/tmp/sct_bresize_delta")["bloom_m_bits"] > ep._bloom_m_bits(
+def test_resize_under_delta_carry(spark, universe, exact_job):
+    d = _fresh("/tmp/sct_bresize_delta")
+    ep.run_crawl(spark, _params(d, commit_mode="delta", **TINY), resume=False)
+    assert _log(spark, d) == _log(spark, exact_job)
+    assert _final_rec(d)["bloom_m_bits"] > ep._bloom_m_bits(
         _params("/tmp/x", **TINY)
     )
 
 
-def test_resize_survives_resume(spark, universe):
-    p_stop = _params("/tmp/sct_bresize_resume", max_epochs=4, **TINY)
+def test_resize_survives_resume(spark, universe, tiny_job):
+    d = _fresh("/tmp/sct_bresize_resume")
+    p_stop = _params(d, max_epochs=4, **TINY)
     ep.run_crawl(spark, p_stop, resume=False)
-    p_go = _params("/tmp/sct_bresize_resume", **TINY)
+    p_go = _params(d, **TINY)
     ep.run_crawl(spark, p_go, resume=True)
-    assert _log(spark, "/tmp/sct_bresize_resume") == _log(
-        spark, "/tmp/sct_bresize_tiny"
-    )
-    assert _final_rec("/tmp/sct_bresize_resume")["bloom_m_bits"] == _final_rec(
-        "/tmp/sct_bresize_tiny"
-    )["bloom_m_bits"]
+    assert _log(spark, d) == _log(spark, tiny_job)
+    assert _final_rec(d)["bloom_m_bits"] == _final_rec(tiny_job)["bloom_m_bits"]
 
 
-def test_resize_disabled_keeps_fixed_size(spark, universe):
-    ep.run_crawl(
-        spark,
-        _params("/tmp/sct_bresize_off", bloom_resize_at=0.0, **TINY),
-        resume=False,
-    )
-    assert _log(spark, "/tmp/sct_bresize_off") == _log(
-        spark, "/tmp/sct_bresize_exact"
-    )
+def test_resize_disabled_keeps_fixed_size(spark, universe, exact_job):
+    d = _fresh("/tmp/sct_bresize_off")
+    ep.run_crawl(spark, _params(d, bloom_resize_at=0.0, **TINY), resume=False)
+    assert _log(spark, d) == _log(spark, exact_job)
     assert _final_rec("/tmp/sct_bresize_off")["bloom_m_bits"] == ep._bloom_m_bits(
         _params("/tmp/x", **TINY)
     )

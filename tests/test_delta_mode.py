@@ -127,6 +127,30 @@ def test_delta_resume_mid_chain(spark, universe, tmp_path):
     assert _final(spark, part) == _final(spark, full)
 
 
+def test_resume_compacts_long_chain(spark, universe, tmp_path):
+    """Resume-time carry warm-up (VERDICT r4 item #7): when the delta
+    chain since the last compaction exceeds compact_every, resume writes
+    ONE compaction snapshot up front so the first epoch's disk resolve is
+    bounded by compact_every layers — and the crawl output is unchanged."""
+    full, part = str(tmp_path / "full"), str(tmp_path / "part")
+    ep.run_crawl(spark, _params(full, "delta", compact_every=3))
+
+    # die at epoch 4 with NO in-run compaction (cadence larger than the
+    # run) → chain base is the bootstrap snapshot, 4 delta layers deep
+    p_short = _params(part, "delta", compact_every=100)
+    p_short.max_epochs = 4
+    ep.run_crawl(spark, p_short)
+    assert ep._frontier_base_epoch(part, 4) == 0
+    # resume with the normal cadence: 4 >= 3 → compaction fires at the
+    # resume point before the first epoch runs
+    ep.run_crawl(spark, _params(part, "delta", compact_every=3))
+    assert os.path.isdir(f"{part}/epoch=00004/frontier")
+    assert ep._frontier_base_epoch(part, 4) == 4
+    assert not os.path.isdir(f"{part}/epoch=00004/_frontier_compact_tmp")
+    assert _log(spark, part) == _log(spark, full)
+    assert _final(spark, part) == _final(spark, full)
+
+
 def test_delta_torn_write_ignored(spark, universe, tmp_path):
     """An uncommitted (torn) delta epoch is discarded on resume."""
     job = str(tmp_path / "torn")
