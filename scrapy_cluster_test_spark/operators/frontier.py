@@ -500,6 +500,7 @@ def enqueue_children(
     children: DataFrame,
     frontier_fps: DataFrame,
     epoch: int,
+    small_hint: bool = False,
 ) -> DataFrame:
     """Turn discovered child URLs into new frontier rows.
 
@@ -531,12 +532,18 @@ def enqueue_children(
     # showed 3× faster at 8 cores than the persisted input, see
     # bucketed_rank docstring).
     base = (epoch + 1) * 1_000_000_000
+    # ``small_hint``: stats-driven physical choice (same contract as
+    # pop_batch's small_pop_hint) — the caller knows from data-dependent
+    # state that this epoch's children are far below the regime where the
+    # two-level rank's ~1 s of fixed cost pays off; ranks are identical
+    # either way (tests/test_distributed_rank.py).
     fresh, _ = bucketed_rank(
         fresh,
         F.floor(F.col("parent_seq") / F.lit(ENQ_SEQ_BUCKET)).cast("long"),
         ["parent_seq", "child_k"],
         "_enq_rk",
         shared_exchange=True,
+        small=small_hint,
     )
     return fresh.select(
         "url",

@@ -125,6 +125,26 @@ class CrawlParams:
     # 10^10 regime where ranking the full frontier would dominate, while
     # small frontiers skip the extra shuffle.
     pop_prefilter_salt: int | str | None = "auto"
+    # Cache the dim tables (corpus payload-join projection, domains,
+    # robots) across the epoch loop: the projection is persisted
+    # PRE-PARTITIONED + PRE-SORTED on the payload-join keys, so every
+    # epoch's join satisfies its distribution/ordering from the cache and
+    # only the O(popped) side is shuffled; domains/robots skip a per-epoch
+    # parquet scan each. Purely physical — crawl output is byte-identical
+    # (dim VALUES are unchanged), pinned by the cow≡delta / parallelism
+    # equivalence suites which run both with and without it.
+    cache_dims: bool = True
+    # EPOCH PIPELINING: build epoch k+1's pop/rank (pure compute over the
+    # carried pending checkpoint — no commit IO, publishes nothing) inside
+    # epoch k's concurrent tail, chained after the pending-carry
+    # checkpoint it consumes. Epoch k+1 then starts at the payload join,
+    # overlapping the rank's CPU with the tail's commit IO — per-epoch
+    # wall ≈ max(tail, pop) instead of tail + pop. Output byte-identity
+    # across the toggle is pinned (tests/test_epoch_tail.py); requires
+    # the delta+bloom carried-state path (elsewhere there is no carried
+    # pending relation to pop from). SCT_PIPELINE_POP=0 disables at run
+    # time for A/B controls.
+    pipeline_pop: bool = True
     # How long run_crawl waits for a LIVE concurrent writer of the same
     # job_dir before raising WriterConflict. Short by design: a second
     # writer is a deployment error, not contention to ride out. Dead
@@ -399,6 +419,77 @@ def _metric_exprs(epoch: int) -> list:
     ]
 
 
+# Pending-frontier size below which an epoch's ranks take plain windows
+# instead of the two-level bucketed form (stats-driven physical choice:
+# the bucketed rank's ~1 s fixed cost per call only amortizes on
+# multi-million-row inputs, and the BFS tail of a crawl is many thin
+# epochs; ranks are identical either way — tests/test_distributed_rank).
+# Derived ONLY from the previous commit record, so it is data-dependent
+# and identical at every parallelism level: crawl logs stay byte-exact.
+SMALL_EPOCH_PENDING = 150_000
+
+
+def _small_epoch_hint(prev_state: dict | None, big_pop: bool) -> bool:
+    return bool(
+        prev_state
+        and not big_pop
+        and int(prev_state.get("pending") or 0) < SMALL_EPOCH_PENDING
+    )
+
+
+def _build_popped(
+    p: CrawlParams,
+    fr: DataFrame,
+    domains: DataFrame,
+    robots: DataFrame,
+    seq_base: int,
+    prev_state: dict | None,
+    caches: list,
+):
+    """The epoch's pop/rank head: robots gate → politeness-budgeted pop →
+    persist. Factored out verbatim so the in-epoch path and the pipelined
+    prepop (built in the PREVIOUS epoch's tail, over the same carried
+    pending checkpoint, with the same data-dependent hints from the same
+    commit-record values) are one code path — crawl-order byte-identity
+    across the pipelining toggle depends on it.
+
+    Returns (pending, allowed, blocked, popped_persisted, big_pop)."""
+    pending = fr.filter(F.col("status") == "pending")
+    allowed, blocked = fr_ops.robots_split(pending, robots)
+    salt = p.pop_prefilter_salt
+    if salt == "auto":
+        last_pop = (prev_state or {}).get("popped")
+        salt = (
+            16
+            if last_pop and int(prev_state["pending"]) >= 8 * int(last_pop)
+            else None
+        )
+    # pop_batch's internal rank persists join ``caches`` and are released
+    # after the consuming epoch's writes — without this the CacheManager
+    # accumulates entries per epoch for the lifetime of the crawl (r2
+    # ADVICE).
+    # fat-epoch hint: last epoch's popped count predicts this one's scale;
+    # ≥150k rows means (a) the broadcast build of the seqs re-attach
+    # relation would be ~1s+ of serial driver work per epoch (see
+    # pop_batch docstring) and (b) the pop touches essentially every
+    # image bucket, so the bucket-prune driver round-trip is wasted.
+    # Data-dependent → identical at every parallelism level, so crawl
+    # logs stay byte-exact.
+    big_pop = bool(prev_state and int(prev_state.get("popped") or 0) >= 150_000)
+    popped = fr_ops.pop_batch(
+        allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt,
+        cache_registry=caches, big_pop_hint=big_pop,
+        small_pop_hint=_small_epoch_hint(prev_state, big_pop),
+    )
+    if p.fetch_partitions:
+        popped = fr_ops.salted_repartition(
+            popped, p.fetch_partitions, p.salt_buckets
+        )
+    # persist: join_payload's bucket-set collect and the join itself both
+    # consume popped — without this the pop window would run twice
+    return pending, allowed, blocked, popped.persist(), big_pop
+
+
 def run_epoch(
     spark: SparkSession,
     p: CrawlParams,
@@ -468,45 +559,42 @@ def run_epoch(
     else:
         prev = os.path.join(_epoch_dir(p.job_dir, epoch - 1), "frontier")
         fr = spark.read.parquet(prev).select(*FRONTIER_COLS)
-    images = spark.read.parquet(p.images_path)
-    domains = spark.read.parquet(p.domains_path)
-    robots = spark.read.parquet(p.robots_path)
+    dims = (carry_io or {}).get("dims") or {}
+    images = dims.get("images")
+    if images is None:
+        images = spark.read.parquet(p.images_path)
+    domains = dims.get("domains")
+    if domains is None:
+        domains = spark.read.parquet(p.domains_path)
+    robots = dims.get("robots")
+    if robots is None:
+        robots = spark.read.parquet(p.robots_path)
 
-    pending = fr.filter(F.col("status") == "pending")
-    allowed, blocked = fr_ops.robots_split(pending, robots)
     _t = time.perf_counter()
     _ph: dict[str, float] = {}
-    salt = p.pop_prefilter_salt
-    if salt == "auto":
-        last_pop = (prev_state or {}).get("popped")
-        salt = (
-            16
-            if last_pop and int(prev_state["pending"]) >= 8 * int(last_pop)
-            else None
+    # EPOCH PIPELINING (pipeline_pop): the previous epoch's tail may have
+    # pre-built THIS epoch's pop/rank over the carried pending checkpoint
+    # (the one relation the pop consumes, materialized before that tail
+    # ran). Valid only if it was derived from the very relation this
+    # epoch took as ``fr`` — identity-checked, not assumed; stale handoffs
+    # (resume, carry fallback) are released and the pop is rebuilt. Both
+    # paths run the SAME _build_popped code, so pops and crawl order
+    # cannot drift (plus serial≡pipelined is pinned in tests).
+    pre = (carry_io or {}).pop("prepop", None)
+    if pre is not None and not (pre["epoch"] == epoch and pre["fr"] is fr):
+        pre["popped"].unpersist()
+        for _c in pre["caches"]:
+            _c.unpersist()
+        pre = None
+    if pre is not None:
+        pending, allowed, blocked = pre["pending"], pre["allowed"], pre["blocked"]
+        popped, big_pop = pre["popped"], pre["big_pop"]
+        _caches.extend(pre["caches"])
+    else:
+        pending, allowed, blocked, popped, big_pop = _build_popped(
+            p, fr, domains, robots, seq_base, prev_state, _caches
         )
-    # pop_batch's internal rank persists join _caches and are released
-    # after the epoch's writes — without this the CacheManager accumulates
-    # entries per epoch for the lifetime of the crawl (r2 ADVICE)
-    # fat-epoch hint: last epoch's popped count predicts this one's scale;
-    # ≥150k rows means (a) the broadcast build of the seqs re-attach
-    # relation would be ~1s+ of serial driver work per epoch (see
-    # pop_batch docstring) and (b) the pop touches essentially every
-    # image bucket, so the bucket-prune driver round-trip is wasted.
-    # Data-dependent → identical at every parallelism level, so crawl
-    # logs stay byte-exact.
-    big_pop = bool(prev_state and int(prev_state.get("popped") or 0) >= 150_000)
-    popped = fr_ops.pop_batch(
-        allowed, domains, p.seller_cap, p.asin_cap, seq_base, prefilter_salt=salt,
-        cache_registry=_caches, big_pop_hint=big_pop,
-    )
     _ph["pop_rank"] = time.perf_counter() - _t
-    if p.fetch_partitions:
-        popped = fr_ops.salted_repartition(
-            popped, p.fetch_partitions, p.salt_buckets
-        )
-    # persist: join_payload's bucket-set collect and the join itself both
-    # consume popped — without this the pop window would run twice
-    popped = popped.persist()
     _t = time.perf_counter()
     payload = fetchsim.join_payload(
         popped,
@@ -585,13 +673,15 @@ def run_epoch(
         thinned = children.join(new_fps, "url_fp", "left_semi")
         _t = time.perf_counter()
         new_rows = fr_ops.enqueue_children(
-            thinned, frontier_fps.limit(0), epoch
+            thinned, frontier_fps.limit(0), epoch,
+            small_hint=_small_epoch_hint(prev_state, big_pop),
         ).select(*FRONTIER_COLS)
         _ph["enqueue_rank"] = time.perf_counter() - _t
     else:
-        new_rows = fr_ops.enqueue_children(children, frontier_fps, epoch).select(
-            *FRONTIER_COLS
-        )
+        new_rows = fr_ops.enqueue_children(
+            children, frontier_fps, epoch,
+            small_hint=_small_epoch_hint(prev_state, big_pop),
+        ).select(*FRONTIER_COLS)
     updated = fr_ops.apply_fetch_outcome(fetched, epoch).select(
         *FRONTIER_COLS, "seq", "status_code", "image_id"
     )
@@ -624,6 +714,16 @@ def run_epoch(
     # suites. SCT_SERIAL_EPOCH_TAIL=1 restores the serial order for
     # profiling A/B.
     tail: list = []
+    # Old carry-handle (and the commit checkpoint's) unpersists are
+    # DEFERRED past the tail barrier: tail jobs run concurrently and
+    # _job_bloom's resize branch scans frontier_fps — in the delta+carry
+    # path a union over the SAME localCheckpointed seen layers
+    # _job_carry_seen re-flattens (and used to unpersist) on compaction
+    # epochs. Checkpointed blocks cannot be recomputed, so yanking them
+    # mid-scan aborts the epoch whenever a resize coincides with a
+    # compaction. Tail threads only APPEND here (GIL-atomic); the release
+    # loop after the pool joins is the barrier.
+    _post_tail_release: list = []
     if p.commit_mode == "delta":
         delta_rows = delta_rows.observe(_obs, *_metric_exprs(epoch))
         # O(touched) commit: only the rows this epoch changed hit disk,
@@ -642,23 +742,47 @@ def run_epoch(
         # 16→42 s across a compaction cycle at 150k images; serialized
         # file syscalls, exactly the small-file problem Iceberg solves
         # with bin-packing). The extra narrow shuffle is O(touched).
-        delta_rows.withColumn(
-            "_dbucket", F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS))
-        ).repartition(N_LINEAGE_BUCKETS, F.col("_dbucket")).write.partitionBy(
-            "_dbucket"
-        ).parquet(os.path.join(ed, "delta"))
-        _ph["write"] = time.perf_counter() - _t
-        if epoch % p.compact_every == 0:
+        # CHECKPOINT-FIRST commit: the epoch's one serial anchor is now
+        # the eager localCheckpoint — it runs the whole transition dag
+        # (fetch → children → dedup → rank) and pins the exact bytes the
+        # commit will contain (metrics observed on the same action). The
+        # parquet WRITE of those checkpointed bytes is pure IO, so it
+        # moves into the concurrent tail where it overlaps the pipelined
+        # next-epoch pop and the bloom/carry jobs. Commit semantics are
+        # unchanged: the _COMMIT marker still gates on the ENTIRE tail
+        # (write included) plus the fence, so a crash anywhere publishes
+        # nothing and resume discards the partial epoch. Downstream
+        # consumers (child_ctx, bloom fps, the carries) read the
+        # checkpointed relation — the same rows the files get, without a
+        # disk round-trip. The checkpoint keeps the post-repartition
+        # layout (one partition per touched _dbucket), so the write still
+        # produces ONE file per touched bucket (the bin-packing
+        # invariant).
+        ck = (
+            delta_rows.withColumn(
+                "_dbucket", F.pmod(F.col("domain_hash"), F.lit(N_LINEAGE_BUCKETS))
+            )
+            .repartition(N_LINEAGE_BUCKETS, F.col("_dbucket"))
+            .localCheckpoint(eager=True)
+        )
+        _ph["ck"] = time.perf_counter() - _t
 
-            def _job_compact() -> None:
-                _t0 = time.perf_counter()
+        def _job_delta_write() -> None:
+            _t0 = time.perf_counter()
+            ck.write.partitionBy("_dbucket").parquet(os.path.join(ed, "delta"))
+            _ph["write"] = time.perf_counter() - _t0
+            if epoch % p.compact_every == 0:
+                # chained after the write: the compaction resolve reads
+                # THIS epoch's delta files from disk
+                _t1 = time.perf_counter()
                 _read_frontier_state(
                     spark, p.job_dir, epoch, with_audit=True
                 ).write.parquet(os.path.join(ed, "frontier"))
-                _ph["compact"] = time.perf_counter() - _t0
+                _ph["compact"] = time.perf_counter() - _t1
 
-            tail.append(("compact", _job_compact))
-        stats_src = spark.read.parquet(os.path.join(ed, "delta"))
+        tail.append(("delta_write", _job_delta_write))
+        stats_src = ck
+        _post_tail_release.append(ck)  # last consumers run inside the tail
     else:
         touched = updated.select("url_fp").union(blocked_rows.select("url_fp"))
         untouched = fr.join(touched, "url_fp", "left_anti").select(*FRONTIER_COLS)
@@ -696,15 +820,6 @@ def run_epoch(
             _ph["child_ctx"] = time.perf_counter() - _t0
 
         tail.append(("child_ctx", _job_child_ctx))
-    # Old carry-handle unpersists are DEFERRED past the tail barrier:
-    # tail jobs run concurrently and _job_bloom's resize branch scans
-    # frontier_fps — in the delta+carry path a union over the SAME
-    # localCheckpointed seen layers _job_carry_seen re-flattens (and used
-    # to unpersist) on compaction epochs. Checkpointed blocks cannot be
-    # recomputed, so yanking them mid-scan aborts the epoch whenever a
-    # resize coincides with a compaction. Tail threads only APPEND here
-    # (GIL-atomic); the release loop after the pool joins is the barrier.
-    _post_tail_release: list = []
     if p.use_bloom:
         # broadcast-plus-delta maintenance: OR only this epoch's new fps
         # into the table and commit it with the epoch. The fps are read
@@ -798,6 +913,49 @@ def run_epoch(
             _t0 = time.perf_counter()
             carry_io["pending"] = nxt.localCheckpoint(eager=True)
             _ph["carry_pending"] = time.perf_counter() - _t0
+            # EPOCH PIPELINING (CrawlParams.pipeline_pop): with the next
+            # pending checkpoint materialized, epoch k+1's pop/rank is
+            # pure compute over it — its data-dependent hints (salt,
+            # big_pop, seq_base) come from THIS epoch's commit-record
+            # values, all bound before the tail ran. Building it here
+            # overlaps the rank's CPU with the sibling tail jobs' commit
+            # IO; the next run_epoch identity-checks the handoff
+            # (pre["fr"] is fr) and rebuilds on any mismatch, and a
+            # prepop failure must not fail THIS epoch's committed work —
+            # the fallback rebuild is byte-identical by construction.
+            if (
+                p.pipeline_pop
+                and os.environ.get("SCT_PIPELINE_POP") != "0"
+                and n_pending > 0
+                and epoch + 1 <= p.max_epochs
+            ):
+                _t1 = time.perf_counter()
+                caches2: list = []
+                try:
+                    nview = {"popped": n_popped, "pending": n_pending}
+                    pnd2, alw2, blk2, pop2, big2 = _build_popped(
+                        p, carry_io["pending"], domains, robots,
+                        seq_base + n_popped, nview, caches2,
+                    )
+                    pop2.count()  # materialize the rank into the persist
+                    carry_io["prepop"] = {
+                        "epoch": epoch + 1,
+                        "fr": carry_io["pending"],
+                        "pending": pnd2,
+                        "allowed": alw2,
+                        "blocked": blk2,
+                        "popped": pop2,
+                        "big_pop": big2,
+                        "caches": caches2,
+                    }
+                except Exception:
+                    for _c in caches2:
+                        try:
+                            _c.unpersist()
+                        except Exception:
+                            pass
+                    carry_io.pop("prepop", None)
+                _ph["prepop"] = time.perf_counter() - _t1
 
         tail.append(("carry_pending", _job_carry_pending))
         # seen fps grow append-only: this epoch's NEW rows (pending,
@@ -851,7 +1009,7 @@ def run_epoch(
     # INCREMENTALLY from the previous commit record, so per-epoch metric
     # cost is O(touched) too.
     _t = time.perf_counter()
-    vals = _obs.get  # ready: the write action above already ran
+    vals = _obs.get  # ready: the commit checkpoint/write action above ran
     lineage = [
         {"b": b, "n": int(vals[f"pop_b{b}"] or 0)}
         for b in range(N_LINEAGE_BUCKETS)
@@ -1022,6 +1180,7 @@ def _run_crawl_locked(
     spark: SparkSession, p: CrawlParams, resume: bool, lock: str
 ) -> dict:
     tokens: dict[str, str] = {}
+    dim_handles: list = []
     if p.proxies_path:
         from ..operators import proxies as proxy_ops
 
@@ -1055,6 +1214,39 @@ def _run_crawl_locked(
         # epochs (run_epoch docs) — epochs after the first touch no
         # O(frontier) disk resolve; deltas stay the durable log
         carry: dict = {}
+        if p.cache_dims:
+            # Dim tables are re-read from parquet by EVERY epoch otherwise
+            # — a per-epoch fixed cost (scan stage launch + file listing ×
+            # hundreds of epochs) that never shrinks with cores. Cache
+            # them once for the loop. The payload-join projection of the
+            # corpus is cached PRE-PARTITIONED AND PRE-SORTED on the join
+            # keys, so each epoch's payload join satisfies its required
+            # distribution/ordering straight from the cache: the corpus
+            # side's exchange AND sort vanish from every epoch's plan —
+            # only the O(popped) side is ever shuffled. At 10^10 this
+            # cached projection is ~24 B/row spread across the fleet
+            # (spilling to local disk where it doesn't fit); the wide
+            # payload bytes are NOT cached — they stay behind the
+            # bucket-pruned scan.
+            from pyspark.storagelevel import StorageLevel
+
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            im = (
+                spark.read.parquet(p.images_path)
+                .select("image_id", "img_bucket", "phash")
+                .repartition(n_part, "img_bucket", "image_id")
+                .sortWithinPartitions("img_bucket", "image_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            dom = spark.read.parquet(p.domains_path).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            rob = spark.read.parquet(p.robots_path).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            im.count(), dom.count(), rob.count()  # materialize once, up front
+            carry["dims"] = {"images": im, "domains": dom, "robots": rob}
+            dim_handles = [im, dom, rob]
         while state["pending"] > 0 and epoch < p.max_epochs:
             epoch += 1
             state = run_epoch(
@@ -1064,6 +1256,8 @@ def _run_crawl_locked(
                 carry_io=carry,
             )
     finally:
+        for _h in dim_handles:
+            _h.unpersist()
         if tokens:
             proxy_ops.release_tokens(spark, p.proxies_path, tokens)
     return {

@@ -79,6 +79,29 @@ def test_concurrent_tail_equals_serial(spark, universe, tmp_path, monkeypatch):
     assert _metrics(spark, con) == _metrics(spark, ser)
 
 
+def test_pipelined_pop_equals_unpipelined(spark, universe, tmp_path, monkeypatch):
+    """Epoch pipelining (CrawlParams.pipeline_pop): building epoch k+1's
+    pop/rank inside epoch k's tail is pure latency hiding — crawl log,
+    final frontier and metrics are byte-identical to the unpipelined run
+    (both head paths run the same _build_popped over the same carried
+    checkpoint with the same commit-record-derived hints)."""
+    off, on = str(tmp_path / "off"), str(tmp_path / "on")
+    monkeypatch.setenv("SCT_PIPELINE_POP", "0")
+    ep.run_crawl(spark, _params(off))
+    monkeypatch.delenv("SCT_PIPELINE_POP")
+    ep.run_crawl(spark, _params(on))
+    assert _log(spark, on) == _log(spark, off)
+    assert _final(spark, on) == _final(spark, off)
+    assert _metrics(spark, on) == _metrics(spark, off)
+    # and pipelining composes with the serial tail (prepop chains after
+    # the pending carry in either tail execution order)
+    ser = str(tmp_path / "ser_on")
+    monkeypatch.setenv("SCT_SERIAL_EPOCH_TAIL", "1")
+    ep.run_crawl(spark, _params(ser))
+    monkeypatch.delenv("SCT_SERIAL_EPOCH_TAIL")
+    assert _log(spark, ser) == _log(spark, off)
+
+
 def test_tail_failure_aborts_epoch_uncommitted(
     spark, universe, tmp_path, monkeypatch
 ):
