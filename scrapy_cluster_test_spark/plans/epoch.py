@@ -699,15 +699,20 @@ def run_epoch(
     # _metric_exprs) — the aggregation source is the rows being written:
     # the full snapshot in cow mode, the touched rows in delta mode
     _obs = Observation()
-    # Post-commit tail jobs (compaction, child_ctx, bloom, the two carry
-    # checkpoints, the metrics file) each consume only COMMITTED files
-    # (stats_src, the previous epoch's bloom table) or relations that are
-    # already checkpointed/persisted (pending, frontier_fps) — they are
-    # mutually independent, so they run CONCURRENTLY from driver threads
-    # after the commit write (the one serial anchor). Serially each is a
-    # small job whose cost is dominated by fixed driver/job-launch
+    # Concurrent tail jobs (the delta write + chained compaction,
+    # child_ctx, bloom, the two carry checkpoints, the pipelined
+    # next-epoch pop, the metrics file) each consume only the commit
+    # CHECKPOINT (stats_src — in delta mode the eager localCheckpoint
+    # that is the epoch's one serial anchor; in cow mode the written
+    # snapshot), the previous epoch's bloom table, or relations already
+    # checkpointed/persisted (pending, frontier_fps) — they are mutually
+    # independent (ordering within a job is by chaining: compact after
+    # the delta write, prepop after the pending carry), so they run
+    # CONCURRENTLY from driver threads after the anchor. Serially each is
+    # a small job whose cost is dominated by fixed driver/job-launch
     # latency — the per-epoch Amdahl term the fat-epoch sched pairs
-    # measure; overlapping them collapses k fixed latencies into ~one.
+    # measure; overlapping them collapses k fixed latencies into ~one,
+    # and lets the write's IO overlap the pipelined pop's compute.
     # Each job's plan and output bytes are identical to the serial order
     # (no task reads another's output), so crawl logs stay byte-exact —
     # asserted by the cow≡delta and parallelism-independence equivalence
