@@ -31,13 +31,17 @@ def words(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws", F.split(F.col(text_col), " "))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (1-based positions).
-
-    Documents with fewer than ``n`` words yield NO shingles (they simply
-    drop out of the explode), matching the DuckDB oracles' generate_series
-    semantics — an unguarded sequence(1, size-n+1) would DESCEND for short
-    docs and element_at would then throw INVALID_ARRAY_INDEX."""
+def shingles_multiset(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles per document, one row each, DUPLICATES KEPT
+    (1-based positions) — the codegen'd explode without the DISTINCT
+    exchange, for consumers whose aggregate is duplicate-insensitive
+    (min-hash style folds). Documents with fewer than ``n`` words yield
+    NO shingles (they simply drop out of the explode), matching the
+    DuckDB oracles' generate_series semantics — an unguarded
+    sequence(1, size-n+1) would DESCEND for short docs and element_at
+    would then throw INVALID_ARRAY_INDEX."""
     w = words(df, text_col)
     gram = F.concat_ws(
         " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
@@ -48,8 +52,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> 
     return (
         w.select(id_col, F.explode(positions).alias("i"), "ws")
         .select(id_col, gram.alias("shingle"))
-        .distinct()
     )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, one row each — for
+    consumers that need the set relation (e.g. exact Jaccard counting);
+    duplicate-insensitive aggregates use ``shingles_multiset`` and skip
+    the DISTINCT exchange (r6, guide §2.4)."""
+    return shingles_multiset(df, id_col, text_col, n).distinct()
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -69,8 +80,15 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", bands: int = DEFAULT_BANDS
 ) -> DataFrame:
     """One minhash per band: min over shingles of md5('b{b}|' + shingle).
-    Output: (id, h0..h{bands-1})."""
-    sh = shingles(df, id_col, text_col)
+    Output: (id, h0..h{bands-1}).
+
+    r6 (guide §2.4): min over the multiset equals min over the distinct
+    set, so the shingle DISTINCT exchange is dropped — the explode stays
+    whole-stage-codegen'd, the mins partially aggregate map-side (the
+    explode preserves the scan partitioning), and the one remaining
+    exchange carries only the ~|docs| partial signature rows instead of
+    the full (doc, shingle) relation twice."""
+    sh = shingles_multiset(df, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle")))).alias(f"h{b}")
         for b in range(bands)
@@ -101,11 +119,14 @@ def lsh_candidate_pairs(
     None (the default, and the oracle-checked semantics) keeps every
     bucket."""
     sig = minhash_signatures(df, id_col, text_col, bands)
-    # ONE self-join on the exploded (band, hash) key instead of `bands`
-    # separate joins: the band id is salted into the join key, so buckets
-    # from different bands never collide and a single shuffle covers all
-    # bands (r1 shape was 4 joins + union — 4x the shuffles for the same
-    # result set).
+    # ONE exchange total (r6, guide §2.4): the per-row signatures explode
+    # to (id, band-salted bucket) rows, one groupBy collects each
+    # bucket's members, the size cap is a filter on the member count, and
+    # pairs come from a double explode within the bucket row — identical
+    # pair set to the bucket self-join, but the signature subtree is
+    # planned ONCE (the join shape planned it once per side, plus a third
+    # time for the oversized-bucket relation) and no quadratic pair set
+    # crosses an exchange before the final distinct.
     long = sig.select(
         F.col(id_col),
         F.explode(
@@ -114,22 +135,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("bucket"),
     )
+    grp = long.groupBy("bucket").agg(F.collect_list(F.col(id_col)).alias("_ms"))
     if max_bucket_size is not None:
-        # the oversized-bucket relation is tiny by construction (only
-        # degenerate buckets exceed the cap) — broadcast anti-join
-        oversized = (
-            long.groupBy("bucket")
-            .agg(F.count("*").alias("s"))
-            .filter(F.col("s") > max_bucket_size)
-            .select("bucket")
-        )
-        long = long.join(F.broadcast(oversized), "bucket", "left_anti")
-    a = long.select(F.col(id_col).alias("id_a"), "bucket")
-    bb = long.select(F.col(id_col).alias("id_b"), "bucket")
+        grp = grp.filter(F.size("_ms") <= max_bucket_size)
     return (
-        a.join(bb, "bucket")
+        grp.filter(F.size("_ms") >= 2)
+        .select(F.explode("_ms").alias("id_a"), "_ms")
+        .select("id_a", F.explode("_ms").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -230,3 +243,4 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+

@@ -90,19 +90,25 @@ def synth_pricing_report(df: DataFrame, id_col: str) -> DataFrame:
     fixtures feed parse_data."""
     k = F.col(id_col)
     n = k % 3
-    payload = (
-        F.when(n == 1, _price_obj(k, 0))
-        .when(n == 2, F.concat(F.lit("["), _price_obj(k, 0), F.lit(","), _price_obj(k, 1), F.lit("]")))
-        .otherwise(F.lit(None).cast("string"))
+    # single-reference branches (r6): the old form bound `payload` into
+    # both the isNotNull probe AND the concat, inlining the whole price
+    # synth expression twice per row in the physical Project — same bytes,
+    # half the expression evaluation
+    pre = '{"Product":{"CompetitivePricing":{"CompetitivePrices":{"CompetitivePrice":'
+    body = (
+        F.when(n == 1, F.concat(F.lit(pre), _price_obj(k, 0), F.lit("}}}}")))
+        .when(
+            n == 2,
+            F.concat(
+                F.lit(pre + "["),
+                _price_obj(k, 0),
+                F.lit(","),
+                _price_obj(k, 1),
+                F.lit("]}}}}"),
+            ),
+        )
+        .otherwise(F.lit('{"Product":{"CompetitivePricing":{"CompetitivePrices":{}}}}'))
     )
-    body = F.when(
-        payload.isNotNull(),
-        F.concat(
-            F.lit('{"Product":{"CompetitivePricing":{"CompetitivePrices":{"CompetitivePrice":'),
-            payload,
-            F.lit("}}}}"),
-        ),
-    ).otherwise(F.lit('{"Product":{"CompetitivePricing":{"CompetitivePrices":{}}}}'))
     return df.withColumn("report_json", body)
 
 
@@ -112,17 +118,26 @@ def parse_competitive_pricing(
     """Nested report JSON → typed price rows (parser.py:22-88 as a table
     function). Single-object payloads are wrapped into one-element arrays
     before from_json — the reference's isinstance(list) normalization."""
+    # materialize the extracted payload as its OWN projection (r6): the old
+    # single-expression form referenced `raw` three times (isNotNull probe,
+    # startswith probe, concat), so the physical Generate re-ran the full
+    # get_json_object document parse 3× per row; as a multi-referenced
+    # non-cheap attribute it stays un-inlined (one parse), and the
+    # isNotNull guard is redundant — a NULL payload null-propagates
+    # through concat and from_json, and posexplode drops null arrays
     raw = F.get_json_object(
         F.col(json_col),
         "$.Product.CompetitivePricing.CompetitivePrices.CompetitivePrice",
     )
-    wrapped = F.when(raw.startswith("["), raw).otherwise(
-        F.concat(F.lit("["), raw, F.lit("]"))
+    step = reports.select(F.col(id_col).alias("product_id"), raw.alias("_raw"))
+    wrapped = F.when(F.col("_raw").startswith("["), F.col("_raw")).otherwise(
+        F.concat(F.lit("["), F.col("_raw"), F.lit("]"))
     )
-    prices = F.when(raw.isNotNull(), F.from_json(wrapped, COMPETITIVE_PRICE_SCHEMA))
-    exploded = reports.select(
-        F.col(id_col).alias("product_id"),
-        F.posexplode(prices).alias("price_idx", "p"),
+    exploded = step.select(
+        "product_id",
+        F.posexplode(F.from_json(wrapped, COMPETITIVE_PRICE_SCHEMA)).alias(
+            "price_idx", "p"
+        ),
     )
     return exploded.select(
         "product_id",

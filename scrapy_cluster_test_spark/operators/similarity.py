@@ -224,6 +224,100 @@ def md5_planes_df(spark, dim: int, n_planes: int, n_tables: int) -> DataFrame:
     )
 
 
+def _ordered_dots(M: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """acc[r, k] = fold over j of (acc + M[r, j] * P[k, j]) in ELEMENT
+    ORDER: each step is one IEEE-754 double multiply (rounded) followed by
+    one add (rounded), the exact sequence ``dot_cols``' aggregate fold
+    executes in the JVM and the DuckDB oracles execute via
+    ``sum(x * w ORDER BY i)`` — so the result is bit-identical to both.
+    A BLAS matmul (pairwise/blocked summation) would NOT be; that is why
+    this loops over the dimension instead of calling ``M @ P.T``."""
+    acc = np.zeros((M.shape[0], P.shape[0]))
+    for j in range(M.shape[1]):
+        acc += M[:, j, None] * P[None, :, j]
+    return acc
+
+
+def _ordered_norms(X: np.ndarray) -> np.ndarray:
+    """sqrt of the element-ordered fold of squares — bit-identical to
+    ``norm_col`` (and DuckDB ``sqrt(sum(x*x ORDER BY i))``)."""
+    acc = np.zeros(X.shape[0])
+    for j in range(X.shape[1]):
+        xj = X[:, j]
+        acc += xj * xj
+    return np.sqrt(acc)
+
+
+def _emb_matrix(col: pd.Series) -> np.ndarray:
+    """Arrow array<float> column → (B, dim) float64 matrix. float32 →
+    float64 widening is exact, matching the JVM's cast(x as double)."""
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def md5_lsh_codes_arrow(
+    vectors: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    carry_emb: bool = False,
+) -> DataFrame:
+    """The SAME (id, bucket) relation as ``md5_lsh_codes`` (pinned equal in
+    tests/test_similarity.py) derived in ONE Arrow pass instead of an
+    ×(n_tables·n_planes) explode + broadcast plane join + (id, t)
+    aggregation exchange: the planes come from ``md5_plane_weights`` (the
+    identical md5 formula ``md5_planes_df`` derives JVM-side — pinned equal
+    in tests), each batch runs the element-ordered double accumulation of
+    ``_ordered_dots`` (bit-identical to the aggregate fold, so every bucket
+    bit matches the DuckDB oracle), and the n_tables buckets per vector are
+    emitted directly. Guide §4.2: the per-(vector, plane) lambda folds were
+    CodegenFallback (interpreted per row); here the whole code derivation
+    is a handful of vectorized numpy passes with zero JVM shuffles.
+
+    Only (id, bucket) crosses back out of Python — numeric columns take
+    Arrow's fast path. ``carry_emb=True`` (test-only) also carries the
+    embedding per emitted row; callers that need embeddings downstream
+    join them back JVM-side instead, because building the ×n_tables
+    object-array column in pandas and re-serializing it to Arrow costs
+    more than the whole code derivation (measured ~12 s vs ~1.5 s at
+    sf1.0 for the 40-table ANN codes)."""
+    dim = len(vectors.select(emb_col).first()[0])
+    planes = md5_plane_weights(dim, n_planes, n_tables).reshape(
+        n_tables * n_planes, dim
+    )
+    wts = (1 << np.arange(n_planes)).astype(np.int64)
+    toff = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _emb_matrix(pdf[emb_col])
+            bits = (_ordered_dots(M, planes) > 0).reshape(
+                len(M), n_tables, n_planes
+            )
+            buckets = (bits * wts).sum(axis=2, dtype=np.int64) + toff[None, :]
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "bucket": buckets.ravel(),
+            }
+            if carry_emb:
+                out[emb_col] = pdf[emb_col].to_numpy().repeat(n_tables)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, bucket long"
+    if carry_emb:
+        schema += f", {emb_col} array<float>"
+    # hash-spread before the Arrow pass: the corpus parquet has only 1-2
+    # row groups, so the bare scan would run the whole kernel in 1-2
+    # tasks (tables.load_spread rationale); one tiny exchange buys
+    # full-parallel code derivation
+    spread = vectors.select(id_col, emb_col).repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return spread.mapInPandas(gen, schema=schema)
+
+
 def md5_lsh_codes(
     vectors: DataFrame,
     n_planes: int,
@@ -299,45 +393,60 @@ def neardup_pairs_lsh(
     defaults give recall 0.93 vs brute force at sf0.1; on clustered real
     corpora (planted-dup test) the same operator prunes >90% of pairs.
 
-    Plan shape: the hyperplanes live in a tiny (n_tables*n_planes)-row
-    broadcast relation with one array column — NOT inlined as literals
-    (the literal form put 7,680 constants + 120 nested folds in one
-    expression tree; analysis/codegen alone cost ~10s regardless of data
-    size). Vectors explode ×(n_tables*n_planes), broadcast-equi-join the
-    plane rows on (t, p), one ordered fold per row, then an integer bit
-    sum per (vector, table) — order-independent because the bits are
-    ints, while every float fold stays in element order for cross-engine
-    bit-identity. Candidate pairs are deduped as bare ids BEFORE the
-    embeddings are re-joined for the exact-cosine verify, so the widest
-    rows never pass through the distinct shuffle."""
-    codes = md5_lsh_codes(vectors, n_planes, n_tables, id_col, emb_col)
-    cand = (
-        codes.select(F.col(id_col).alias("vec_a"), "bucket")
-        .join(codes.select(F.col(id_col).alias("vec_b"), "bucket"), "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    Plan shape (r6, guide §2.3/§2.4/§4.2): codes come from the one-pass
+    Arrow kernel ``md5_lsh_codes_arrow`` with the embedding carried on
+    each (id, bucket) row, ONE exchange groups the rows by bucket, and a
+    per-bucket Arrow verify computes every co-resident pair's exact
+    element-ordered cosine and emits only the survivors — verify-first,
+    then a distinct over the (small) surviving pair set. The r5 shape
+    planned the expensive codes subtree TWICE (one per self-join side),
+    shuffled the full O(Σ s²) candidate incidence set through a distinct
+    exchange, and paid an interpreted (CodegenFallback) lambda fold per
+    surviving pair; this shape derives codes once, never exchanges the
+    quadratic pair set (pairs are generated AND verified inside the
+    bucket group), and the only wide shuffle is n_tables·N code rows.
+    Every float op keeps the element order, so the survivor set is
+    bit-identical to the r5 plan and the DuckDB oracle."""
+    codes = md5_lsh_codes_arrow(vectors, n_planes, n_tables, id_col, emb_col)
+    codes = codes.join(vectors.select(id_col, emb_col), id_col)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64)}
+        )
+        if s < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = _emb_matrix(pdf[emb_col])[order]
+        nr = _ordered_norms(X)
+        dim = X.shape[1]
+        out_a, out_b = [], []
+        # row blocks bound the (block × s) pair matrix; members are sorted
+        # by id so (i, j > i) is exactly (vec_a < vec_b)
+        blk = max(1, 4_000_000 // s)
+        for i0 in range(0, s - 1, blk):
+            i1 = min(i0 + blk, s)
+            acc = np.zeros((i1 - i0, s))
+            for j in range(dim):
+                xj = X[:, j]
+                acc += X[i0:i1, j, None] * xj[None, :]
+            cos = acc / (nr[i0:i1, None] * nr[None, :])
+            ia, ib = np.nonzero(cos >= threshold)
+            keep = (ia + i0) < ib  # upper triangle only
+            out_a.append(ids[ia[keep] + i0])
+            out_b.append(ids[ib[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    pairs = codes.groupBy("bucket").applyInPandas(
+        verify, schema="vec_a long, vec_b long"
     )
-    vn = vectors.select(
-        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
-    )
-    pair = cand.join(
-        vn.select(
-            F.col(id_col).alias("vec_a"),
-            F.col(emb_col).alias("emb_a"),
-            F.col("nr").alias("norm_a"),
-        ),
-        "vec_a",
-    ).join(
-        vn.select(
-            F.col(id_col).alias("vec_b"),
-            F.col(emb_col).alias("emb_b"),
-            F.col("nr").alias("norm_b"),
-        ),
-        "vec_b",
-    )
-    cosine = dot_cols("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
-    return pair.filter(cosine >= threshold).select("vec_a", "vec_b")
+    return pairs.distinct()
 
 
 def neardup_oracle_sql(
@@ -409,50 +518,59 @@ def ann_topk_lsh(
     assumed.
 
     Output: (query_id, neighbor_id, rnk) — rnk by (cosine desc, id), may
-    yield < k rows for a query whose buckets are sparse (oracle agrees)."""
-    codes = md5_lsh_codes(vectors, n_planes, n_tables, id_col, emb_col)
+    yield < k rows for a query whose buckets are sparse (oracle agrees).
+
+    Plan shape (r6, guide §2.3/§4.2): the one-pass Arrow code kernel
+    (``md5_lsh_codes_arrow``, embeddings carried) replaces the ×(T·P)
+    explode + plane join + (id, t) exchange; resident query ids are
+    flagged with one broadcast join; and a per-bucket Arrow stage scores
+    every (resident query × member) pair with the element-ordered cosine
+    directly — no candidate-id distinct + embedding re-join + interpreted
+    per-pair fold. Duplicate (query, neighbor) candidates from different
+    tables carry bit-identical cosines, so one distinct on the scored
+    rows before the top-k window preserves exact r5/oracle semantics."""
+    codes = md5_lsh_codes_arrow(vectors, n_planes, n_tables, id_col, emb_col)
+    codes = codes.join(vectors.select(id_col, emb_col), id_col)
     qids = queries.select(F.col(id_col)).withColumn("_isq", F.lit(1))
     marked = codes.join(qids, id_col, "left")
-    grp = (
-        marked.groupBy("bucket")
-        .agg(
-            F.collect_list(
-                F.when(F.col("_isq") == 1, F.col(id_col))
-            ).alias("_qs"),
-            F.collect_list(F.col(id_col)).alias("_members"),
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], np.int64),
+                "neighbor_id": np.array([], np.int64),
+                "cosine": np.array([], np.float64),
+            }
         )
-        .filter(F.size("_qs") > 0)
+        qmask = pdf["_isq"].notna().to_numpy()
+        if not qmask.any() or len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        X = _emb_matrix(pdf[emb_col])
+        nr = _ordered_norms(X)
+        qidx = np.nonzero(qmask)[0]
+        Q = X[qidx]
+        acc = np.zeros((len(qidx), len(pdf)))
+        for j in range(X.shape[1]):
+            acc += Q[:, j, None] * X[None, :, j]
+        cos = acc / (nr[qidx, None] * nr[None, :])
+        keep = ids[qidx, None] != ids[None, :]
+        iq, iv = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "query_id": ids[qidx[iq]],
+                "neighbor_id": ids[iv],
+                "cosine": cos[iq, iv],
+            }
+        )
+
+    scored = marked.groupBy("bucket").applyInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
     )
-    cand = (
-        grp.select(F.explode("_qs").alias("query_id"), "_members")
-        .select("query_id", F.explode("_members").alias("neighbor_id"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .distinct()
-    )
-    vn = vectors.select(
-        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
-    )
-    pair = cand.join(
-        vn.select(
-            F.col(id_col).alias("query_id"),
-            F.col(emb_col).alias("emb_q"),
-            F.col("nr").alias("norm_q"),
-        ),
-        "query_id",
-    ).join(
-        vn.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(emb_col).alias("emb_v"),
-            F.col("nr").alias("norm_v"),
-        ),
-        "neighbor_id",
-    )
-    scored = pair.withColumn(
-        "cosine", dot_cols("emb_q", "emb_v") / (F.col("norm_q") * F.col("norm_v"))
-    )
+    dedup = scored.distinct()
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        dedup.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
@@ -600,68 +718,117 @@ def ivf_topk(
     ``ann_topk_lsh``: (query_id, neighbor_id, rnk), rnk by (cosine desc,
     neighbor id), possibly < k rows for sparse probes.
 
-    Scale shape: the assignment is a BROADCAST nested-loop against C
-    centroid rows (never a shuffle of the 10^10-row corpus) followed by a
-    map-side-combinable ``max_by`` per vector — each vector's C candidate
-    rows are produced inside one partition, so the argmin aggregation is
-    a near-zero-byte exchange. Candidates come from an equi-join on the
-    centroid id (each vector lives in exactly ONE list, so no distinct is
-    needed), and only probed-list members pay the exact ordered-fold
-    cosine. At 10^10 raise n_centroids ~ √N and materialize the corpus
-    with ``ivf_write_bucketed`` (partitioned by ``cid``) so probes prune
-    at file listing via ``ivf_topk_bucketed`` — same listing-time method
-    as the frontier's lineage buckets (tests/test_ivf_bucketed.py)."""
-    cents = F.broadcast(ivf_centroids(vectors, n_centroids, id_col, emb_col))
-    vn = vectors.select(
-        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nr")
+    Scale shape: the corpus is never shuffled wide — one Arrow pass
+    assigns vectors, one per-list stage scores probes. At 10^10 raise
+    n_centroids ~ √N and materialize the corpus with
+    ``ivf_write_bucketed`` (partitioned by ``cid``) so probes prune at
+    file listing via ``ivf_topk_bucketed`` — same listing-time method as
+    the frontier's lineage buckets (tests/test_ivf_bucketed.py).
+
+    Plan shape (r6, guide 4.2): the C centroid rows are a driver-bounded
+    collect (C ~ √N at scale — the same bound as ``ivf_topk_bucketed``'s
+    probed-cid collect); ONE Arrow pass over the corpus computes every
+    vector's element-ordered centroid similarities, its argmin assignment
+    (ties to the smaller cid) and — for resident query rows, flagged by a
+    broadcast join — its n_probe probe lists; a per-cid Arrow stage then
+    scores (probing query × list member) pairs exactly. This replaces the
+    r5 shape's two broadcast nested-loop expansions (N·C interpreted
+    lambda folds), the max_by sort-aggregate exchange, and the per-pair
+    verify joins. Each vector lives in exactly one list, so no distinct
+    is needed; every float fold keeps element order, so assignments,
+    probes and cosines are bit-identical to r5 and the oracle."""
+    crows = sorted(
+        ivf_centroids(vectors, n_centroids, id_col, emb_col)
+        .select("cid", "emb_c")
+        .collect(),
+        key=lambda r: r[0],
     )
-    sim = vn.crossJoin(cents).withColumn(
-        "cs", dot_cols(emb_col, "emb_c") / (F.col("nr") * F.col("norm_c"))
-    )
-    # nearest centroid, ties broken toward the smaller cid (max of the
-    # (cs, -cid) struct) — partial-aggregable, unlike a row_number window
-    assign = sim.groupBy(id_col).agg(
-        F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")))).alias("cid")
-    )
-    # query-side centroid similarities: semi-join FIRST, then the C-way
-    # expansion — dotting N×C rows just to keep N/query_every of them
-    # would run the corpus-wide pass a second time (the `sim` subtree is
-    # not persisted, so its two consumers each rebuild it)
-    qsim = (
-        vn.join(queries.select(id_col), id_col, "left_semi")
-        .crossJoin(cents)
-        .withColumn(
-            "cs", dot_cols(emb_col, "emb_c") / (F.col("nr") * F.col("norm_c"))
+    cids = np.array([r[0] for r in crows], np.int64)
+    C = np.stack([np.asarray(r[1], np.float64) for r in crows])
+    nc = _ordered_norms(C)
+    qids = queries.select(F.col(id_col)).withColumn("_isq", F.lit(1))
+    # hash-spread for the same 1-2-row-group reason as md5_lsh_codes_arrow
+    marked = (
+        vectors.select(id_col, emb_col)
+        .repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism, id_col
         )
+        .join(qids, id_col, "left")
     )
-    wq = W.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cid"))
-    probes = (
-        qsim.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), "cid")
+
+    def assign_and_probe(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _emb_matrix(pdf[emb_col])
+            nr = _ordered_norms(M)
+            cs = _ordered_dots(M, C) / (nr[:, None] * nc[None, :])
+            # centroid columns are cid-ascending, argmax takes the FIRST
+            # max → ties break toward the smaller cid (= max_by struct)
+            amax = cs.argmax(axis=1)
+            ids = pdf[id_col].to_numpy()
+            embs = pdf[emb_col].to_numpy()
+            out = {
+                id_col: [ids],
+                emb_col: [embs],
+                "cid": [cids[amax]],
+                "_probe": [np.zeros(len(ids), np.int32)],
+            }
+            qrows = np.nonzero(pdf["_isq"].notna().to_numpy())[0]
+            if len(qrows):
+                # stable argsort on -cs: cs desc, ties by cid asc
+                order = np.argsort(-cs[qrows], axis=1, kind="stable")
+                probes = order[:, :n_probe]
+                out[id_col].append(np.repeat(ids[qrows], probes.shape[1]))
+                out[emb_col].append(embs[qrows].repeat(probes.shape[1]))
+                out["cid"].append(cids[probes.ravel()])
+                out["_probe"].append(
+                    np.ones(len(qrows) * probes.shape[1], np.int32)
+                )
+            yield pd.DataFrame(
+                {kk: np.concatenate(vv) for kk, vv in out.items()}
+            )
+
+    placed = marked.mapInPandas(
+        assign_and_probe,
+        schema=f"{id_col} long, {emb_col} array<float>, cid long, _probe int",
     )
-    cand = probes.join(
-        assign.select(F.col(id_col).alias("neighbor_id"), "cid"), "cid"
-    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id"
-    )
-    pair = cand.join(
-        vn.select(
-            F.col(id_col).alias("query_id"),
-            F.col(emb_col).alias("emb_q"),
-            F.col("nr").alias("norm_q"),
-        ),
-        "query_id",
-    ).join(
-        vn.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(emb_col).alias("emb_v"),
-            F.col("nr").alias("norm_v"),
-        ),
-        "neighbor_id",
-    )
-    scored = pair.withColumn(
-        "cosine", dot_cols("emb_q", "emb_v") / (F.col("norm_q") * F.col("norm_v"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], np.int64),
+                "neighbor_id": np.array([], np.int64),
+                "cosine": np.array([], np.float64),
+            }
+        )
+        probe = pdf["_probe"].to_numpy() == 1
+        if not probe.any() or probe.all():
+            return empty
+        ids = pdf[id_col].to_numpy()
+        X = _emb_matrix(pdf[emb_col])
+        nr = _ordered_norms(X)
+        qidx = np.nonzero(probe)[0]
+        vidx = np.nonzero(~probe)[0]
+        Q, V = X[qidx], X[vidx]
+        acc = np.zeros((len(qidx), len(vidx)))
+        for j in range(X.shape[1]):
+            acc += Q[:, j, None] * V[None, :, j]
+        cos = acc / (nr[qidx, None] * nr[vidx, None].T)
+        keep = ids[qidx, None] != ids[vidx, None].T
+        iq, iv = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "query_id": ids[qidx[iq]],
+                "neighbor_id": ids[vidx[iv]],
+                "cosine": cos[iq, iv],
+            }
+        )
+
+    scored = placed.groupBy("cid").applyInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -97,9 +97,12 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Winnowing-style document fingerprint: minimum salted md5 over word
     n-gram shingles, plus its 60-bit integer form. Near-identical documents
     (sharing their rarest shingle) collide — a cheap pre-cluster key."""
-    from .dedupe import shingles
+    from .dedupe import shingles_multiset
 
-    sh = shingles(df, id_col, text_col="text", n=n)
+    # r6 (guide §2.4): min is duplicate-insensitive, so the shingle
+    # DISTINCT exchange is dropped — the min partially aggregates
+    # map-side and the one exchange carries ~|docs| rows
+    sh = shingles_multiset(df, id_col, text_col="text", n=n)
     return sh.groupBy(id_col).agg(
         F.min(F.md5(F.concat(F.lit("fp|"), F.col("shingle")))).alias("fp_hex")
     ).select(

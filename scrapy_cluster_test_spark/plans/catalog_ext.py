@@ -400,7 +400,7 @@ def extract_offer_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity — the graft form of get_offers (parser.py:521-528)."""
     from ..operators.extract import extract_offer_rows
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = tables.load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").alias("caption")
     )
     return extract_offer_rows(d, id_col="doc_id")
@@ -426,7 +426,7 @@ def extract_page_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-Amazon seller ⇒ private label, spiders/amazon_merchant.py:169-174)."""
     from ..operators.extract import extract_offer_rows, per_page_rollup
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = tables.load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").alias("caption")
     )
     return per_page_rollup(extract_offer_rows(d, id_col="doc_id"), id_col="doc_id")
@@ -853,7 +853,7 @@ def mws_pricing_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver compare proves the JSON round-trip is lossless."""
     from ..operators.mws import parse_competitive_pricing, synth_pricing_report
 
-    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("product_id"))
+    o = tables.load_spread(spark, sf_dir, "orders", "o_orderkey").select(F.col("o_orderkey").alias("product_id"))
     reports = synth_pricing_report(o, "product_id")
     return parse_competitive_pricing(reports, "report_json", "product_id")
 

@@ -22,6 +22,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents hash-spread to full parallelism — for the queries whose
+    map stage does real per-row work (shingle/md5/regex families); the
+    driver files' 1-2 row groups otherwise cap those stages at 1-2 tasks
+    (tables.load_spread docstring has the full rationale)."""
+    return tables.load_spread(spark, sf_dir, "documents", "doc_id")
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "embeddings")
 
@@ -89,7 +97,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, so the gated semantics are the driver-checked ones; the
     uncapped form stays available via max_bucket_size=None."""
     return dedupe.lsh_candidate_pairs(
-        _docs(spark, sf_dir), "doc_id", max_bucket_size=MINHASH_BUCKET_CAP
+        _docs_spread(spark, sf_dir), "doc_id", max_bucket_size=MINHASH_BUCKET_CAP
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
@@ -139,7 +147,7 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket size and est_pairs = Σ s(s-1)/2, the exact pair-count the join
     would emit — the pre-flight gate a 100-TB dedup runs before the
     quadratic-in-bucket-size self-join."""
-    return dedupe.lsh_bucket_stats(_docs(spark, sf_dir), "doc_id")
+    return dedupe.lsh_bucket_stats(_docs_spread(spark, sf_dir), "doc_id")
 
 
 @query(
@@ -167,7 +175,7 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram Jaccard over a bounded candidate pair set (adjacent
     ids here; LSH candidates in production — never the cross product)."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     ids = d.select("doc_id")
     pairs = (
         ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
@@ -340,7 +348,7 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-shingle fingerprint (hex + 60-bit int form)."""
-    return textanalysis.fingerprint(_docs(spark, sf_dir))
+    return textanalysis.fingerprint(_docs_spread(spark, sf_dir))
 
 
 _PAGE_TEXT_SQL = """
@@ -640,7 +648,7 @@ def extract_inventory_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     lateral unnest."""
     from ..operators.extract import parse_inventory
 
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs_spread(spark, sf_dir).select("doc_id")
     pages = d.withColumn("page_text", _synth_inventory_text(F.col("doc_id")))
     inv = parse_inventory(pages, "page_text", jobid="job-0")
     ex = inv.select(

@@ -48,6 +48,19 @@ def get_spark(
         # whose materialized side is genuinely small get rewritten
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
+        # Split sizing (guide §6.1): maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/defaultParallelism)) — the 4 MB
+        # openCost default floors CPU-heavy scans of small-but-dense
+        # parquet (50k docs ≈ 16 MB → 4 tasks on 32 cores, so shingle/md5
+        # map stages ran near-serial). 256 KB is an honest open cost for
+        # local/fast storage; the bytes-per-core term keeps splits
+        # scale-adaptive (≈ one split per core regardless of cluster
+        # size), so this is not a local[32]-only tune. Override via
+        # $SPARK_GRAFT_OPEN_COST for slow-open object stores.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "262144"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
