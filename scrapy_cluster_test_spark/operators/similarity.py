@@ -254,6 +254,56 @@ def _emb_matrix(col: pd.Series) -> np.ndarray:
     return np.stack(col.to_numpy()).astype(np.float64)
 
 
+# Two-phase exact cosine (guide §1.2: make the per-task kernel fast without
+# changing the answer): phase 1 scores candidates with a BLAS matmul —
+# 10-30× faster than the element-ordered loop but differently rounded;
+# phase 2 re-scores only DECISION-BORDER pairs with the element-ordered
+# fold. Both phases round the same 64-term product sum, and Cauchy-Schwarz
+# bounds Σ|a_i·b_i| ≤ ‖a‖‖b‖, so |c_blas − c_seq| ≤ ~2·dim·2⁻⁵³ ≈ 1.4e-14
+# at dim 64. EPS_COS = 1e-9 leaves five orders of magnitude of slack: any
+# comparison decided OUTSIDE the ±EPS band is decided identically by both
+# roundings, and comparisons inside the band are recomputed with the exact
+# fold — so every published decision is the element-ordered (oracle) one;
+# BLAS only prunes.
+EPS_COS = 1e-9
+
+
+def _ordered_pair_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-paired element-ordered dots: out[r] = fold_j(acc + A[r,j]*B[r,j])
+    — the bit-exact sequence of ``dot_cols`` for a batch of pairs."""
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
+
+
+def _merge_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query merge of bucket/list-local candidates into the final
+    (query_id, neighbor_id, rnk): dedup (duplicates of a pair carry
+    bit-identical exact cosines), order by (cosine desc, neighbor_id),
+    keep k, rank 1..k — the applyInPandas form of distinct + row_number
+    window, with ONE exchange on query_id instead of a distinct exchange
+    plus a window exchange + global sort (guide §2.4)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf.drop_duplicates("neighbor_id")
+        order = np.lexsort(
+            (d["neighbor_id"].to_numpy(), -d["cosine"].to_numpy())
+        )[:k]
+        dd = d.iloc[order]
+        return pd.DataFrame(
+            {
+                "query_id": dd["query_id"].to_numpy(),
+                "neighbor_id": dd["neighbor_id"].to_numpy(),
+                "rnk": np.arange(1, len(dd) + 1, dtype=np.int32),
+            }
+        )
+
+    return scored.groupBy("query_id").applyInPandas(
+        merge, schema="query_id long, neighbor_id long, rnk int"
+    )
+
+
 def md5_lsh_codes_arrow(
     vectors: DataFrame,
     n_planes: int,
@@ -421,22 +471,26 @@ def neardup_pairs_lsh(
         ids = pdf[id_col].to_numpy()[order]
         X = _emb_matrix(pdf[emb_col])[order]
         nr = _ordered_norms(X)
-        dim = X.shape[1]
         out_a, out_b = [], []
         # row blocks bound the (block × s) pair matrix; members are sorted
         # by id so (i, j > i) is exactly (vec_a < vec_b)
         blk = max(1, 4_000_000 // s)
         for i0 in range(0, s - 1, blk):
             i1 = min(i0 + blk, s)
-            acc = np.zeros((i1 - i0, s))
-            for j in range(dim):
-                xj = X[:, j]
-                acc += X[i0:i1, j, None] * xj[None, :]
-            cos = acc / (nr[i0:i1, None] * nr[None, :])
-            ia, ib = np.nonzero(cos >= threshold)
-            keep = (ia + i0) < ib  # upper triangle only
-            out_a.append(ids[ia[keep] + i0])
-            out_b.append(ids[ib[keep]])
+            # phase 1: BLAS scores; sure decisions taken directly
+            cos = (X[i0:i1] @ X.T) / (nr[i0:i1, None] * nr[None, :])
+            keep = cos >= threshold
+            # phase 2: the ±EPS_COS band re-decided with the exact fold
+            ba, bb = np.nonzero(np.abs(cos - threshold) <= EPS_COS)
+            if len(ba):
+                exact = _ordered_pair_dots(X[ba + i0], X[bb]) / (
+                    nr[ba + i0] * nr[bb]
+                )
+                keep[ba, bb] = exact >= threshold
+            ia, ib = np.nonzero(keep)
+            tri = (ia + i0) < ib  # upper triangle only
+            out_a.append(ids[ia[tri] + i0])
+            out_b.append(ids[ib[tri]])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -549,31 +603,42 @@ def ann_topk_lsh(
         X = _emb_matrix(pdf[emb_col])
         nr = _ordered_norms(X)
         qidx = np.nonzero(qmask)[0]
-        Q = X[qidx]
-        acc = np.zeros((len(qidx), len(pdf)))
-        for j in range(X.shape[1]):
-            acc += Q[:, j, None] * X[None, :, j]
-        cos = acc / (nr[qidx, None] * nr[None, :])
-        keep = ids[qidx, None] != ids[None, :]
-        iq, iv = np.nonzero(keep)
+        # phase 1 (BLAS) prunes each resident query's bucket candidates to
+        # a superset of its exact top-k: the k-th largest BLAS score minus
+        # EPS_COS lower-bounds the k-th largest exact score, so nothing
+        # the exact ordering would rank ≤ k is dropped
+        cos = (X[qidx] @ X.T) / (nr[qidx, None] * nr[None, :])
+        cos[ids[qidx, None] == ids[None, :]] = -np.inf  # self-pairs
+        sel_q, sel_v = [], []
+        for r in range(len(qidx)):
+            row = cos[r]
+            if len(row) > k:
+                kth = np.partition(row, -k)[-k]
+                keep = np.nonzero(row >= kth - EPS_COS)[0]
+            else:
+                keep = np.nonzero(row > -np.inf)[0]
+            sel_q.append(np.full(len(keep), qidx[r]))
+            sel_v.append(keep)
+        iq = np.concatenate(sel_q)
+        iv = np.concatenate(sel_v)
+        if not len(iq):
+            return empty
+        # phase 2: the emitted survivors carry the EXACT element-ordered
+        # cosine — bit-identical across buckets (the global merge dedups
+        # on it) and to the oracle's ordering
+        exact = _ordered_pair_dots(X[iq], X[iv]) / (nr[iq] * nr[iv])
         return pd.DataFrame(
             {
-                "query_id": ids[qidx[iq]],
+                "query_id": ids[iq],
                 "neighbor_id": ids[iv],
-                "cosine": cos[iq, iv],
+                "cosine": exact,
             }
         )
 
     scored = marked.groupBy("bucket").applyInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
-    dedup = scored.distinct()
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        dedup.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk")
-    )
+    return _merge_topk(scored, k)
 
 
 def ann_topk_oracle_sql(
@@ -812,30 +877,38 @@ def ivf_topk(
         nr = _ordered_norms(X)
         qidx = np.nonzero(probe)[0]
         vidx = np.nonzero(~probe)[0]
-        Q, V = X[qidx], X[vidx]
-        acc = np.zeros((len(qidx), len(vidx)))
-        for j in range(X.shape[1]):
-            acc += Q[:, j, None] * V[None, :, j]
-        cos = acc / (nr[qidx, None] * nr[vidx, None].T)
-        keep = ids[qidx, None] != ids[vidx, None].T
-        iq, iv = np.nonzero(keep)
+        # phase 1 (BLAS) prunes each probing query's list candidates to a
+        # superset of its exact top-k (see ann_topk_lsh.score); phase 2
+        # emits the exact element-ordered cosine for the survivors
+        cos = (X[qidx] @ X[vidx].T) / (nr[qidx, None] * nr[vidx][None, :])
+        cos[ids[qidx, None] == ids[vidx][None, :]] = -np.inf  # self-pairs
+        sel_q, sel_v = [], []
+        for r in range(len(qidx)):
+            row = cos[r]
+            if len(row) > k:
+                kth = np.partition(row, -k)[-k]
+                keep = np.nonzero(row >= kth - EPS_COS)[0]
+            else:
+                keep = np.nonzero(row > -np.inf)[0]
+            sel_q.append(np.full(len(keep), qidx[r]))
+            sel_v.append(vidx[keep])
+        iq = np.concatenate(sel_q)
+        iv = np.concatenate(sel_v)
+        if not len(iq):
+            return empty
+        exact = _ordered_pair_dots(X[iq], X[iv]) / (nr[iq] * nr[iv])
         return pd.DataFrame(
             {
-                "query_id": ids[qidx[iq]],
-                "neighbor_id": ids[vidx[iv]],
-                "cosine": cos[iq, iv],
+                "query_id": ids[iq],
+                "neighbor_id": ids[iv],
+                "cosine": exact,
             }
         )
 
     scored = placed.groupBy("cid").applyInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk")
-    )
+    return _merge_topk(scored, k)
 
 
 def ivf_topk_oracle_sql(
