@@ -37,21 +37,21 @@ sys.path.insert(0, {repo!r})
 from scrapy_cluster_test_spark.session import get_spark
 from scrapy_cluster_test_spark import datagen
 spark = get_spark("sct-bench-gen", cores={cores})
-datagen.generate_all(spark, {universe!r}, n_images={n_images}, n_seeds=500,
+datagen.generate_all(spark, {universe!r}, n_images={n_images}, n_seeds={n_seeds},
                      budget_scale={budget_scale}, lite={lite})
 print("GEN done")
 spark.stop()
 """
 
 
-def pregen(n_images: int, budget_scale: float, lite: bool, cores: int = 32) -> None:
+def pregen(n_images: int, budget_scale: float, lite: bool, cores: int = 32, n_seeds: int = 500) -> None:
     # The universe is reused ONLY when it was generated with the same
     # parameters: budget_scale is baked into domains.parquet and lite
     # into the payload column, so an existence-only check silently runs
     # the pair against whatever the LAST invocation generated (this bit
     # two bench sessions — a "s500" pair once ran on a stale s2000
     # universe and produced uncomparable numbers).
-    params = {"n_images": n_images, "budget_scale": budget_scale, "lite": lite}
+    params = {"n_images": n_images, "budget_scale": budget_scale, "lite": lite, "n_seeds": n_seeds}
     manifest = os.path.join(UNIVERSE, "_PARAMS.json")
     if os.path.exists(os.path.join(UNIVERSE, "robots.parquet")):
         try:
@@ -66,6 +66,7 @@ def pregen(n_images: int, budget_scale: float, lite: bool, cores: int = 32) -> N
         cores=cores,
         universe=UNIVERSE,
         n_images=n_images,
+        n_seeds=n_seeds,
         budget_scale=budget_scale,
         lite=lite,
     )
@@ -286,6 +287,10 @@ def main() -> None:
     # (per-epoch fixed latency amortizes over real work, as it would at
     # 10^10 where an epoch pops millions of URLs)
     ap.add_argument("--budget-scale", type=float, default=50.0)
+    # wide-seed knob for the fat-from-epoch-1 sched pair (r5 verdict's open
+    # prediction): pre-seeding the frontier makes epoch 1 pop at the caps
+    # instead of ramping through the thin BFS head
+    ap.add_argument("--n-seeds", type=int, default=500)
     ap.add_argument(
         "--lite",
         action="store_true",
@@ -296,7 +301,7 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    pregen(args.n_images, args.budget_scale, args.lite)
+    pregen(args.n_images, args.budget_scale, args.lite, n_seeds=args.n_seeds)
     modes = ["sched", "decode"] if args.mode == "both" else [args.mode]
     for mode in modes:
         lo = run_level(args.low, mode, args.n_images, args.budget_scale, args.commit_mode)

@@ -626,15 +626,21 @@ def stream_throttle_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sct_stream_throttle_")
     src = _os.path.join(root, "cands")
     _os.makedirs(src)
-    # one file per micro-batch, mtimes forcing source order b0 → b1
+    # one file per micro-batch, mtimes forcing source order b0 → b1.
+    # r6: ONE events pass writes both batch files via partitionBy on a
+    # duplicate of the batch column (kept duplicate so `batch` itself
+    # stays IN the files for the stream schema) — the old per-batch loop
+    # scanned and filtered the events table once per micro-batch.
+    tmp = _os.path.join(root, "all.tmp")
+    cand.withColumn("_pb", F.col("batch")).repartition(1).write.partitionBy(
+        "_pb"
+    ).parquet(tmp)
     for b, mt in ((0, 1_000_000), (1, 2_000_000)):
-        tmp = _os.path.join(root, f"b{b}.tmp")
-        cand.filter(F.col("batch") == b).coalesce(1).write.parquet(tmp)
-        part = glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        part = glob.glob(_os.path.join(tmp, f"_pb={b}", "part-*.parquet"))[0]
         dst = _os.path.join(src, f"b{b}.parquet")
         shutil.copy(part, dst)
-        shutil.rmtree(tmp)
         _os.utime(dst, (mt, mt))
+    shutil.rmtree(tmp)
     stream_in = (
         spark.readStream.schema(
             "batch int, domain string, url_fp long, priority int, "
@@ -659,7 +665,9 @@ def stream_throttle_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    shutil.rmtree(root, ignore_errors=True)  # memory sink holds the rows
+        # in the finally so a failed stream doesn't leak the temp root
+        # (ADVICE r5); the memory sink holds the rows, nothing re-reads it
+        shutil.rmtree(root, ignore_errors=True)
     return spark.table(qname).select(
         "domain",
         "url_fp",

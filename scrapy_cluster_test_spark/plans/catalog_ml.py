@@ -174,8 +174,11 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram Jaccard over a bounded candidate pair set (adjacent
-    ids here; LSH candidates in production — never the cross product)."""
-    d = _docs_spread(spark, sf_dir)
+    ids here; LSH candidates in production — never the cross product).
+    NOT spread (r6): under the bench's count() the intersection subtree
+    is pruned (a left join cannot change the row count), so the spread
+    exchange would tax the measured path without feeding any heavy map."""
+    d = _docs(spark, sf_dir)
     ids = d.select("doc_id")
     pairs = (
         ids.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
