@@ -194,7 +194,11 @@ p = ep.CrawlParams(
     domains_path=f"{{universe}}/domains.parquet",
     robots_path=f"{{universe}}/robots.parquet",
     job_dir=job, n_images=n_images,
-    seller_cap=500000, asin_cap=500000, max_epochs=30, use_bloom=True,
+    # per-epoch pop caps; SCT_BENCH_SCHED_CAP widens them for the
+    # fat-epoch scaling pairs (the production bound stays the default)
+    seller_cap=int(os.environ.get("SCT_BENCH_SCHED_CAP", 500000)),
+    asin_cap=int(os.environ.get("SCT_BENCH_SCHED_CAP", 500000)),
+    max_epochs=30, use_bloom=True,
     commit_mode={commit_mode!r})
 t0 = time.perf_counter()
 summary = ep.run_crawl(spark, p, resume=False)

@@ -27,6 +27,7 @@ re-checked per-run by bench_scaling.py's output-hash assert).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -44,6 +45,15 @@ from ..schemas import FRONTIER
 from ..sources import fetchsim
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
+
+_log = logging.getLogger(__name__)
+
+# Count of pipelined-prepop build failures (each one silently falls back
+# to the serial rebuild — correct but slower). Surfaced so a
+# systematically-failing prepop can't disable pipelining invisibly:
+# the handler logs a warning, and the pipelined-equivalence test asserts
+# the counter stays zero (tests/test_epoch_tail.py).
+PREPOP_FALLBACKS = 0
 
 # per-partition lineage granularity: fetch counts per pmod(domain_hash, B)
 # bucket per epoch — mirrors an Iceberg table bucketed by domain_hash
@@ -897,13 +907,13 @@ def run_epoch(
     if p.commit_mode == "delta" and carry_io is not None and p.use_bloom:
         # next epoch's pending state = this epoch's pending minus every
         # touched fp, plus the touched rows that are pending after the
-        # transition (new children + retried pops) — read back from the
-        # JUST-WRITTEN delta files, so the carried set is derived from
-        # the committed bytes, not from lineage over handles that are
-        # unpersisted below. O(pending) anti-join against an O(touched)
-        # side + an eager checkpoint; the previous epoch's checkpoint is
-        # released only after the new one exists and every consumer of
-        # ``fr`` (writes above) has run.
+        # transition (new children + retried pops) — derived from the
+        # COMMIT CHECKPOINT (stats_src = the eager localCheckpoint whose
+        # rows the delta write persists), so the carried set shares no
+        # lineage with handles that are unpersisted below;
+        # _post_tail_release defers the old checkpoint's release past
+        # its tail consumers. O(pending) anti-join against an O(touched)
+        # side + an eager checkpoint.
         nxt = (
             pending.join(stats_src.select("url_fp"), "url_fp", "left_anti")
             .select(*FRONTIER_COLS)
@@ -936,6 +946,7 @@ def run_epoch(
             ):
                 _t1 = time.perf_counter()
                 caches2: list = []
+                pop2 = None
                 try:
                     nview = {"popped": n_popped, "pending": n_pending}
                     pnd2, alw2, blk2, pop2, big2 = _build_popped(
@@ -953,7 +964,25 @@ def run_epoch(
                         "big_pop": big2,
                         "caches": caches2,
                     }
-                except Exception:
+                except Exception as exc:
+                    # correctness-safe (next epoch rebuilds identically),
+                    # but NOT silent: count + warn so a systematically
+                    # failing prepop can't disable pipelining invisibly,
+                    # and release everything the partial build persisted
+                    # (pop2 persists inside _build_popped before the
+                    # count, so it may be live without being in caches2)
+                    global PREPOP_FALLBACKS
+                    PREPOP_FALLBACKS += 1
+                    _ph["prepop_fallback"] = 1.0
+                    _log.warning(
+                        "pipelined prepop for epoch %d failed, falling "
+                        "back to serial rebuild: %r", epoch + 1, exc,
+                    )
+                    if pop2 is not None:
+                        try:
+                            pop2.unpersist()
+                        except Exception:
+                            pass
                     for _c in caches2:
                         try:
                             _c.unpersist()
@@ -1186,6 +1215,7 @@ def _run_crawl_locked(
 ) -> dict:
     tokens: dict[str, str] = {}
     dim_handles: list = []
+    carry: dict = {}  # bound before the try so the finally can drain it
     if p.proxies_path:
         from ..operators import proxies as proxy_ops
 
@@ -1215,10 +1245,10 @@ def _run_crawl_locked(
         ):
             _compact_snapshot(spark, p.job_dir, last)
         epoch = last
-        # carries the checkpointed pending frontier between delta-mode
-        # epochs (run_epoch docs) — epochs after the first touch no
-        # O(frontier) disk resolve; deltas stay the durable log
-        carry: dict = {}
+        # `carry` (bound above the try) holds the checkpointed pending
+        # frontier between delta-mode epochs (run_epoch docs) — epochs
+        # after the first touch no O(frontier) disk resolve; deltas stay
+        # the durable log
         if p.cache_dims:
             # Dim tables are re-read from parquet by EVERY epoch otherwise
             # — a per-epoch fixed cost (scan stage launch + file listing ×
@@ -1261,6 +1291,17 @@ def _run_crawl_locked(
                 carry_io=carry,
             )
     finally:
+        # a crawl that aborts after a tail stored a prepop (fence failure
+        # or a later-epoch error) would otherwise leak the prepop's
+        # persisted popped handle and its rank caches — only the next
+        # epoch's consume/identity-reject path releases them (ADVICE r5)
+        _pre = carry.pop("prepop", None)
+        if _pre:
+            for _h in [_pre.get("popped"), *_pre.get("caches", ())]:
+                try:
+                    _h.unpersist()
+                except Exception:
+                    pass
         for _h in dim_handles:
             _h.unpersist()
         if tokens:

@@ -89,7 +89,12 @@ def test_pipelined_pop_equals_unpipelined(spark, universe, tmp_path, monkeypatch
     monkeypatch.setenv("SCT_PIPELINE_POP", "0")
     ep.run_crawl(spark, _params(off))
     monkeypatch.delenv("SCT_PIPELINE_POP")
+    fallbacks_before = ep.PREPOP_FALLBACKS
     ep.run_crawl(spark, _params(on))
+    # the pipelined leg must actually pipeline: a prepop build failure
+    # silently falls back to the serial rebuild (correct but slower), so
+    # a regression here would otherwise be invisible (r6)
+    assert ep.PREPOP_FALLBACKS == fallbacks_before
     assert _log(spark, on) == _log(spark, off)
     assert _final(spark, on) == _final(spark, off)
     assert _metrics(spark, on) == _metrics(spark, off)
