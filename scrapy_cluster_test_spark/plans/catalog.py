@@ -368,19 +368,36 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insertion-ordered first-wins dedup (`{id: item for item in xs}.values()`,
-    spiders/amazon_merchant.py:161 → SURVEY D2/D5) as a row_number window.
-    The ORDER BY is a total order (full tiebreak) so the winner is
+    spiders/amazon_merchant.py:161 → SURVEY D2/D5). The winner per key is
+    the argmin over a TOTAL order (full tiebreak), so it is
     distribution-order independent — the same discipline the frontier pop
     applies with url_fp as global tiebreaker.
+
+    r6 (guide §2.3 "aggregate before you shuffle"): computed as a
+    min(struct(order-keys)) aggregation — lexicographic struct min IS the
+    first row of the total order, so the result is byte-identical to the
+    r5 row_number-window form (pinned in the A/B), but the min partially
+    aggregates map-side: the exchange carries ~|keys| pre-reduced rows
+    instead of every input row, and the per-partition sort disappears.
+    The output columns are all functionally determined by the sort key,
+    so even exact-tie rows yield identical output either way.
     """
     li = _t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
-    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct(
+                    "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+                )
+            ).alias("_first")
+        )
+        .select(
+            "l_orderkey",
+            F.col("_first.l_partkey").alias("l_partkey"),
+            F.col("_first.l_suppkey").alias("l_suppkey"),
+            F.col("_first.l_linenumber").alias("l_linenumber"),
+        )
     )
 
 
